@@ -1,0 +1,133 @@
+"""Ported semantics micro-checks (FIXTURES.md §4) — from reference unit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from gojsonschema_spark import SchemaCompiler, SchemaCompileError, compile_schema
+from gojsonschema_spark.core.formats import default_registry
+from gojsonschema_spark.core.jsonvalue import Num, canonical_json, go_float_str, json_kind, parse_json
+
+
+def test_exact_error_message():
+    # reference schema_test.go:291-324
+    schema = compile_schema({
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "type": "object",
+        "properties": {
+            "Device": {
+                "type": "object",
+                "properties": {"Color": {"type": "string"}},
+                "required": ["Color"],
+            }
+        },
+    })
+    result = schema.validate({"Device": {"Color": True}})
+    assert not result.valid()
+    assert [str(e) for e in result.errors] == [
+        "Device.Color: Invalid type. Expected: string, given: boolean"
+    ]
+    assert result.errors[0].error_type == "invalid_type"
+    assert result.errors[0].field_path == "Device.Color"
+
+
+def test_circular_refs_terminate():
+    # reference schema_test.go:42-93
+    schema = compile_schema({
+        "definitions": {
+            "player": {
+                "type": "object",
+                "properties": {
+                    "name": {"type": "string"},
+                    "team": {"$ref": "#/definitions/team"},
+                },
+            },
+            "team": {
+                "type": "object",
+                "properties": {
+                    "name": {"type": "string"},
+                    "players": {"type": "array",
+                                "items": {"$ref": "#/definitions/player"}},
+                },
+            },
+        },
+        "$ref": "#/definitions/team",
+    })
+    doc = {"name": "A", "players": [{"name": "p", "team": {"name": "A", "players": []}}]}
+    assert schema.is_valid(doc)
+    assert not schema.is_valid({"name": 3})
+
+
+def test_bad_ref_is_compile_error():
+    # reference schema_test.go:371-382
+    with pytest.raises(SchemaCompileError):
+        compile_schema({"$ref": "#/fail"})
+
+
+def test_location_independent_id():
+    # reference schema_test.go:326-369 (draft4 "id" anchors)
+    compiler = SchemaCompiler(draft="draft4")
+    schema = compiler.compile({
+        "allOf": [{"$ref": "#foo"}],
+        "definitions": {"A": {"id": "#foo", "type": "integer"}},
+    })
+    r1 = schema.validate("a string")
+    assert not r1.valid()
+    assert r1.errors[0].error_type == "invalid_type"
+    assert schema.is_valid(3)
+
+
+def test_fragment_compile():
+    # reference schema_test.go:239-273: compile from a #/definitions/x fragment
+    compiler = SchemaCompiler(draft="draft4")
+    compiler.add_schema("http://example.test/root.json", parse_json(
+        '{"definitions": {"x": {"type": "integer"}}}'))
+    schema = compiler.compile(None, ref="http://example.test/root.json#/definitions/x")
+    assert schema.is_valid(3)
+    assert not schema.is_valid("a")
+
+
+def test_number_classification():
+    # reference utils_test.go:35-59
+    assert json_kind(parse_json("1.0e+2")) == "integer"
+    assert json_kind(parse_json("9223372036854775807")) == "integer"
+    assert json_kind(parse_json("1.0e-2")) == "number"
+    assert json_kind(parse_json("1.5")) == "number"
+    assert Num("1.0").is_int() and not Num("1.00001").is_int()
+
+
+def test_canonical_equality():
+    # reference utils.go:84-104: 1.00 == 1.0 == 1, but "1" != 1, true != 1
+    assert canonical_json(parse_json("1.00")) == canonical_json(parse_json("1"))
+    assert canonical_json(parse_json('"1"')) != canonical_json(parse_json("1"))
+    assert canonical_json(parse_json("true")) != canonical_json(parse_json("1"))
+    assert canonical_json(parse_json('{"b":1,"a":2}')) == canonical_json(parse_json('{"a":2,"b":1}'))
+
+
+def test_go_float_str():
+    assert go_float_str(1.0) == "1"
+    assert go_float_str(0.1) == "0.1"
+    assert go_float_str(1e21) == "1e+21"
+    assert go_float_str(1e20) == "100000000000000000000"
+    assert go_float_str(-2.5e-7) == "-2.5e-07"
+
+
+def test_format_checkers_vectors():
+    # reference format_checkers_test.go:10-96
+    f = default_registry
+    assert f.is_format("uuid", "01234567-89ab-cdef-0123-456789abcdef")
+    assert f.is_format("uuid", "f1917270-2f88-4d5c-baf9-0c26fa1c501f")
+    assert not f.is_format("uuid", "not-a-uuid")
+    assert not f.is_format("uuid", "g1917270-2f88-4d5c-baf9-0c26fa1c501f")
+    assert f.is_format("uri-reference", "relative")
+    assert f.is_format("uri-reference", "https://dummyhost.com/dummy-path?dummy-qp-name=dummy-qp-value")
+    assert not f.is_format("uri", "relative")
+    # unknown formats + non-string inputs always pass
+    assert f.is_format("no-such-format", "anything")
+    assert f.is_format("date", Num("5"))
+    assert f.is_format("uri", 42)
+
+
+def test_enum_duplicate_is_compile_error():
+    with pytest.raises(SchemaCompileError):
+        compile_schema({"enum": [1, 1.0]})

@@ -1,0 +1,44 @@
+"""Golden-corpus parity gate: exact draft-4/6/7 suite verdict parity.
+
+Mirrors the reference's own gate (/root/reference/jsonschema_test.go:121-190):
+top-level fixture files + optional/format* for each draft, skipping groups
+marked ``disabled``. Additionally runs optional/bignum.json and
+optional/zeroTerminatedFloats.json (exact-rational semantics), which the
+reference's TestSuite walk skips.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gojsonschema_spark.core.suite import load_cases, run_case_group
+
+# Cases where the official fixture disagrees with gojsonschema's semantics.
+# These fixtures are NOT part of the reference's own test gate (its suite
+# walker SkipDirs optional/); we pin REFERENCE behavior, not fixture text.
+KNOWN_REFERENCE_DIVERGENCES = {
+    # big.Rat.IsInt: 1.0 IS an integer (validation.go:121, utils.go:117-125)
+    ("draft4", "optional/zeroTerminatedFloats.json",
+     "some languages do not distinguish between different types of numeric value",
+     "a float is not an integer even without fractional part"): True,
+}
+
+
+def _groups():
+    out = []
+    for draft, rel, schema, cases in load_cases():
+        out.append(pytest.param(draft, rel, schema, cases,
+                                id=f"{draft}/{rel}/{cases[0].group[:60]}"))
+    return out
+
+
+@pytest.mark.parametrize("draft,rel,schema,cases", _groups())
+def test_suite_group(draft, rel, schema, cases):
+    results = run_case_group(draft, schema, cases)
+    mismatches = []
+    for case, got in results:
+        expected = KNOWN_REFERENCE_DIVERGENCES.get(
+            (draft, rel, case.group, case.case), case.expected_valid)
+        if got != expected:
+            mismatches.append(f"{case.case}: expected {expected}, got {got}")
+    assert not mismatches, f"{draft}/{rel} [{cases[0].group}]:\n" + "\n".join(mismatches)
