@@ -16,6 +16,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from .jsonvalue import Num, canonical_json
+
 __all__ = ["ROOT_CONTEXT", "Violation", "Result", "SchemaCompileError", "render_value"]
 
 ROOT_CONTEXT = ("(root)",)
@@ -75,8 +77,6 @@ def field_of(context: tuple) -> str:
 
 
 def render_value(value) -> str:
-    from .jsonvalue import Num, canonical_json
-
     if value is None:
         return "null"
     if isinstance(value, Num):

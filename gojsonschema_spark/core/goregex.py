@@ -99,3 +99,48 @@ def translate_re2(pattern: str) -> str:
 def compile_re2(pattern: str):
     """Compile an RE2 pattern with Python ``re``, RE2 search semantics."""
     return re.compile(translate_re2(pattern), re.ASCII)
+
+
+def translate_re2_java(pattern: str) -> str:
+    """Rewrite an RE2 pattern for Java regex (Spark ``rlike``).
+
+    Java and RE2 agree on ASCII ``\\d \\w \\s`` defaults and ``\\p{...}``;
+    the one verdict-changing difference is the ``$`` anchor: Java ``$``
+    (like Python's) also matches before a trailing newline, RE2 ``$``
+    without (?m) matches end-of-text only -> rewrite bare ``$`` and RE2
+    ``\\z`` to Java ``\\z``.
+    """
+    out = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            out.append(c)
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        if c == "[" and not in_class:
+            in_class = True
+            out.append(c)
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                out.append("^")
+                j += 1
+            if j < n and pattern[j] == "]":
+                out.append("\\]")
+                j += 1
+            i = j
+            continue
+        if c == "]" and in_class:
+            in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "$" and not in_class:
+            out.append(r"\z")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)

@@ -67,6 +67,46 @@ def parse_json(text: str):
     return json.loads(text, parse_float=Num, parse_int=Num)
 
 
+def dump_lexical(value) -> str:
+    """Serialize back to JSON preserving lexical number forms verbatim."""
+    out: list = []
+
+    def rec(v):
+        if v is None:
+            out.append("null")
+        elif isinstance(v, bool):
+            out.append("true" if v else "false")
+        elif isinstance(v, Num):
+            out.append(v.lex)
+        elif isinstance(v, int):
+            out.append(str(v))
+        elif isinstance(v, float):
+            out.append(repr(v))
+        elif isinstance(v, str):
+            out.append(json.dumps(v, ensure_ascii=False))
+        elif isinstance(v, (list, tuple)):
+            out.append("[")
+            for i, x in enumerate(v):
+                if i:
+                    out.append(",")
+                rec(x)
+            out.append("]")
+        elif isinstance(v, dict):
+            out.append("{")
+            for i, (k, x) in enumerate(v.items()):
+                if i:
+                    out.append(",")
+                out.append(json.dumps(k, ensure_ascii=False))
+                out.append(":")
+                rec(x)
+            out.append("}")
+        else:  # pragma: no cover
+            raise TypeError(f"not a JSON value: {type(v)}")
+
+    rec(value)
+    return "".join(out)
+
+
 def go_float_str(f: float) -> str:
     """Render a float64 the way Go's encoding/json does.
 

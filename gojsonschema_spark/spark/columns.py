@@ -1,0 +1,562 @@
+"""Compile a JSON Schema into a pure-SQL Spark Column predicate DAG.
+
+The hot path of the engine (SURVEY.md §1.4/§4): each schema node lowers to
+a boolean ``Column`` over a VARIANT value. Everything stays JVM-side inside
+whole-stage codegen — type dispatch via ``schema_of_variant``, presence via
+``element_at`` on a ``map<string,variant>`` cast (missing vs null is
+preserved: a JSON null is a non-SQL-null VOID variant), numeric comparisons
+on lexical-preserving DECIMAL casts with a DOUBLE fallback, regex via
+``rlike`` with an RE2->Java anchor fix ($ -> \\z).
+
+Schemas outside the expressible subset raise :class:`UnsupportedSchema`
+and route to the Arrow-batched pandas-UDF interpreter instead (engine.py).
+Known, documented divergences of the column path vs the exact interpreter:
+numbers needing >38 significant digits or exact rationals beyond
+DECIMAL(38,18) are compared in double precision (the bignum-exact path is
+the interpreter; see tests/test_spark_engine.py differential gate).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Column, functions as F
+
+from ..core.compiler import CompiledSchema, SubSchema
+from ..core.goregex import translate_re2_java
+from ..core.jsonvalue import go_float_str
+
+__all__ = ["ColumnPlanCompiler", "UnsupportedSchema"]
+
+_SIMPLE_KEY = __import__("re").compile(r"^[^\x00-\x1f]*$")
+
+
+class UnsupportedSchema(Exception):
+    """Schema uses semantics the Column plan cannot express faithfully."""
+
+
+def _true() -> Column:
+    return F.lit(True)
+
+
+def _all(preds: list[Column]) -> Column:
+    out = None
+    for p in preds:
+        out = p if out is None else (out & p)
+    return out if out is not None else _true()
+
+
+def _nn(c: Column) -> Column:
+    """Null-safe boolean: missing/indeterminate counts as False."""
+    return F.coalesce(c, F.lit(False))
+
+
+# --- variant type classification -------------------------------------------
+
+def _vtype(v: Column) -> Column:
+    return F.schema_of_variant(v)
+
+
+def _is_null(v: Column) -> Column:
+    return _nn(F.is_variant_null(v))
+
+
+def _is_number(v: Column, t: Column) -> Column:
+    return (t == "BIGINT") | (t == "DOUBLE") | t.startswith("DECIMAL")
+
+
+def _num_dec(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "decimal(38,18)")
+
+
+def _num_dbl(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "double")
+
+
+def _is_integer(v: Column, t: Column) -> Column:
+    return _is_number(v, t) & _nn(
+        F.coalesce(
+            _num_dec(v) % 1 == 0,
+            _num_dbl(v) % 1.0 == 0.0,
+        )
+    )
+
+
+_MAX_DEC = Fraction(10) ** 20  # decimal(38,18) integral range bound
+
+
+class ColumnPlanCompiler:
+    def __init__(self, compiled: CompiledSchema):
+        self.compiled = compiled
+        self._stack: list[int] = []  # $ref cycle guard
+        self._hof_depth = 0  # >0: pred will run inside a HOF lambda -> SQL-only
+
+    def compile(self):
+        """Return pred(v: variant Column) -> boolean Column ('valid' bit)."""
+        root = self.compiled.root
+        pred = self._node(root)
+
+        def plan(v: Column) -> Column:
+            # malformed / SQL-null documents are invalid on this path
+            return F.when(v.isNull(), F.lit(False)).otherwise(pred(v))
+
+        return plan
+
+    def _hof_node(self, node: SubSchema):
+        """Compile a child whose predicate runs inside a HOF lambda —
+        Python-UDF-backed pieces (parser formats) are not allowed there."""
+        self._hof_depth += 1
+        try:
+            return self._node(node)
+        finally:
+            self._hof_depth -= 1
+
+    # -- node compilation ----------------------------------------------------
+
+    def _node(self, node: SubSchema):
+        if node.pass_ is not None:
+            val = bool(node.pass_)
+            return lambda v: F.lit(val)
+
+        if node.ref_schema is not None:
+            if id(node.ref_schema) in self._stack:
+                raise UnsupportedSchema("cyclic $ref (route to interpreter)")
+            self._stack.append(id(node.ref_schema))
+            try:
+                return self._node(node.ref_schema)
+            finally:
+                self._stack.pop()
+
+        parts = []  # list of fn(v, t) -> Column
+
+        if node.types:
+            parts.append(self._type_check(node.types))
+        parts.extend(self._combinators(node))
+        parts.extend(self._const_enum(node))
+        parts.extend(self._number_keywords(node))
+        parts.extend(self._string_keywords(node))
+        parts.extend(self._array_keywords(node))
+        parts.extend(self._object_keywords(node))
+        if node.format:
+            parts.append(self._format_check(node.format))
+
+        def pred(v: Column) -> Column:
+            t = _vtype(v)
+            return _all([p(v, t) for p in parts])
+
+        return pred
+
+    def _type_check(self, types: list[str]):
+        def check(v: Column, t: Column) -> Column:
+            alts = []
+            for ty in types:
+                if ty == "null":
+                    alts.append(_is_null(v))
+                elif ty == "boolean":
+                    alts.append(t == "BOOLEAN")
+                elif ty == "string":
+                    alts.append(t == "STRING")
+                elif ty == "number":
+                    alts.append(_is_number(v, t))
+                elif ty == "integer":
+                    alts.append(_is_integer(v, t))
+                elif ty == "array":
+                    alts.append(t.startswith("ARRAY"))
+                elif ty == "object":
+                    alts.append(t.startswith("OBJECT"))
+            out = alts[0]
+            for a in alts[1:]:
+                out = out | a
+            return out
+
+        return check
+
+    # -- combinators ----------------------------------------------------------
+
+    def _combinators(self, node: SubSchema):
+        parts = []
+        if node.any_of:
+            subs = [self._node(s) for s in node.any_of]
+            parts.append(lambda v, t, subs=subs: F.greatest(*[s(v) for s in subs])
+                         if len(subs) > 1 else subs[0](v))
+        if node.all_of:
+            subs = [self._node(s) for s in node.all_of]
+            parts.append(lambda v, t, subs=subs: _all([s(v) for s in subs]))
+        if node.one_of:
+            subs = [self._node(s) for s in node.one_of]
+
+            def one_of(v, t, subs=subs):
+                total = None
+                for s in subs:
+                    c = s(v).cast("int")
+                    total = c if total is None else total + c
+                return total == 1
+
+            parts.append(one_of)
+        if node.not_ is not None:
+            sub = self._node(node.not_)
+            parts.append(lambda v, t, sub=sub: ~sub(v))
+        if node.if_ is not None:
+            p_if = self._node(node.if_)
+            p_then = self._node(node.then_) if node.then_ is not None else None
+            p_else = self._node(node.else_) if node.else_ is not None else None
+
+            def ite(v, t, p_if=p_if, p_then=p_then, p_else=p_else):
+                then_c = p_then(v) if p_then is not None else _true()
+                else_c = p_else(v) if p_else is not None else _true()
+                return F.when(p_if(v), then_c).otherwise(else_c)
+
+            parts.append(ite)
+        if node.dependencies:
+            for key, dep in node.dependencies.items():
+                if isinstance(dep, list):
+                    def dep_list(v, t, key=key, names=tuple(dep)):
+                        mp = F.try_variant_get(v, "$", "map<string,variant>")
+                        present = F.element_at(mp, F.lit(key)).isNotNull()
+                        needs = _all([F.element_at(mp, F.lit(n)).isNotNull()
+                                      for n in names])
+                        return ~t.startswith("OBJECT") | ~_nn(present) | needs
+
+                    parts.append(dep_list)
+                else:
+                    sub = self._node(dep)
+
+                    def dep_schema(v, t, key=key, sub=sub):
+                        mp = F.try_variant_get(v, "$", "map<string,variant>")
+                        present = F.element_at(mp, F.lit(key)).isNotNull()
+                        return ~t.startswith("OBJECT") | ~_nn(present) | sub(v)
+
+                    parts.append(dep_schema)
+        return parts
+
+    # -- const / enum ----------------------------------------------------------
+
+    def _scalar_literal_pred(self, canon: str):
+        """Return fn(v, t)->Column testing canonical equality with one scalar.
+
+        canon is the canonical JSON string of the allowed value."""
+        if canon == "null":
+            return lambda v, t: _is_null(v)
+        if canon in ("true", "false"):
+            want = canon == "true"
+            return lambda v, t: (t == "BOOLEAN") & _nn(
+                F.try_variant_get(v, "$", "boolean") == F.lit(want))
+        if canon.startswith('"'):
+            import json as _json
+            s = _json.loads(canon)
+            return lambda v, t: (t == "STRING") & _nn(
+                F.try_variant_get(v, "$", "string") == F.lit(s))
+        # number
+        try:
+            frac = Fraction(canon)
+        except ValueError:
+            raise UnsupportedSchema(f"non-scalar const/enum value {canon!r}")
+        return lambda v, t: _is_number(v, t) & self._num_eq(v, frac)
+
+    def _num_eq(self, v: Column, frac: Fraction) -> Column:
+        dec = self._dec_literal(frac)
+        if dec is not None:
+            return _nn(F.coalesce(_num_dec(v) == dec(),
+                                  _num_dbl(v) == F.lit(float(frac))))
+        return _nn(_num_dbl(v) == F.lit(float(frac)))
+
+    def _dec_literal(self, frac: Fraction):
+        """Deferred exact decimal(38,18) literal, or None if inexpressible.
+
+        Returns a zero-arg callable so no SparkSession is needed at
+        plan-compile time (plans build Columns only when applied)."""
+        scaled = frac * 10**18
+        if scaled.denominator != 1 or abs(frac) >= _MAX_DEC:
+            return None
+        sql = f"cast({_frac_str(frac)} as decimal(38,18))"
+        return lambda: F.expr(sql)
+
+    def _const_enum(self, node: SubSchema):
+        parts = []
+        if node.const_ is not None:
+            parts.append(self._scalar_literal_pred(node.const_))
+        if node.enum:
+            alt_preds = [self._scalar_literal_pred(c) for c in node.enum]
+
+            def enum_pred(v, t, alts=alt_preds):
+                out = None
+                for a in alts:
+                    c = a(v, t)
+                    out = c if out is None else out | c
+                return out
+
+            parts.append(enum_pred)
+        return parts
+
+    # -- numbers -----------------------------------------------------------------
+
+    def _number_keywords(self, node: SubSchema):
+        parts = []
+
+        def guard(v, t, cond):
+            return ~_is_number(v, t) | cond
+
+        for bound, op in ((node.minimum, ">="), (node.maximum, "<="),
+                          (node.exclusive_minimum, ">"), (node.exclusive_maximum, "<")):
+            if bound is None:
+                continue
+            dec = self._dec_literal(bound)
+            fb = float(bound)
+
+            def cmp(v, t, op=op, dec=dec, fb=fb):
+                d = _num_dec(v)
+                dd = _num_dbl(v)
+                def apply(col, lit):
+                    return {"<": col < lit, "<=": col <= lit,
+                            ">": col > lit, ">=": col >= lit}[op]
+                if dec is not None:
+                    c = F.coalesce(apply(d, dec()), apply(dd, F.lit(fb)))
+                else:
+                    c = apply(dd, F.lit(fb))
+                return guard(v, t, _nn(c))
+
+            parts.append(cmp)
+
+        if node.multiple_of is not None:
+            m = node.multiple_of
+            dec = self._dec_literal(m)
+            if dec is None:
+                raise UnsupportedSchema("multipleOf needs exact rational path")
+            fm = float(m)
+
+            def multiple(v, t, dec=dec, fm=fm):
+                d = _num_dec(v)
+                dd = _num_dbl(v)
+                c = F.coalesce(d % dec() == 0, (dd / F.lit(fm)) % 1.0 == 0.0)
+                return guard(v, t, _nn(c))
+
+            parts.append(multiple)
+        return parts
+
+    # -- strings -----------------------------------------------------------------
+
+    def _string_keywords(self, node: SubSchema):
+        parts = []
+        if node.min_length is None and node.max_length is None and node.pattern is None:
+            return parts
+
+        def s_of(v):
+            return F.try_variant_get(v, "$", "string")
+
+        if node.min_length is not None:
+            n = node.min_length
+            parts.append(lambda v, t, n=n: (t != "STRING") | _nn(F.length(s_of(v)) >= n))
+        if node.max_length is not None:
+            n = node.max_length
+            parts.append(lambda v, t, n=n: (t != "STRING") | _nn(F.length(s_of(v)) <= n))
+        if node.pattern is not None:
+            jp = translate_re2_java(node.pattern_src)
+            parts.append(lambda v, t, jp=jp: (t != "STRING") | _nn(s_of(v).rlike(jp)))
+        return parts
+
+    # -- arrays ------------------------------------------------------------------
+
+    def _array_keywords(self, node: SubSchema):
+        parts = []
+        has_items = bool(node.items_children) or node.additional_items is not None
+        if not (has_items or node.min_items is not None or node.max_items is not None
+                or node.contains is not None or node.unique_items):
+            return parts
+
+        def arr_of(v):
+            return F.try_variant_get(v, "$", "array<variant>")
+
+        def guard(t, cond):
+            return ~t.startswith("ARRAY") | cond
+
+        if node.min_items is not None:
+            n = node.min_items
+            parts.append(lambda v, t, n=n: guard(t, _nn(F.size(arr_of(v)) >= n)))
+        if node.max_items is not None:
+            n = node.max_items
+            parts.append(lambda v, t, n=n: guard(t, _nn(F.size(arr_of(v)) <= n)))
+
+        if node.items_single and node.items_children:
+            sub = self._hof_node(node.items_children[0])
+            parts.append(lambda v, t, sub=sub: guard(
+                t, _nn(F.forall(arr_of(v), lambda x: sub(x)))))
+        elif node.items_children:
+            subs = [self._node(s) for s in node.items_children]
+            n = len(subs)
+
+            def tuple_items(v, t, subs=subs, n=n):
+                arr = arr_of(v)
+                sz = F.size(arr)
+                conds = []
+                for i, s in enumerate(subs):
+                    conds.append((sz <= i) | _nn(s(F.element_at(arr, i + 1))))
+                return guard(t, _all(conds))
+
+            parts.append(tuple_items)
+            if node.additional_items is False:
+                parts.append(lambda v, t, n=n: guard(t, _nn(F.size(arr_of(v)) <= n)))
+            elif isinstance(node.additional_items, SubSchema):
+                sub = self._hof_node(node.additional_items)
+
+                def extra_items(v, t, sub=sub, n=n):
+                    arr = arr_of(v)
+                    sz = F.size(arr)
+                    tail = F.slice(arr, n + 1, F.greatest(sz - n, F.lit(0)))
+                    return guard(t, (sz <= n) | _nn(F.forall(tail, lambda x: sub(x))))
+
+                parts.append(extra_items)
+
+        if node.contains is not None:
+            sub = self._hof_node(node.contains)
+            parts.append(lambda v, t, sub=sub: guard(
+                t, _nn(F.exists(arr_of(v), lambda x: sub(x)))))
+
+        if node.unique_items:
+            # canonical-JSON uniqueness is exact only for scalar elements on
+            # this path; objects/arrays inside uniqueItems -> interpreter
+            raise UnsupportedSchema("uniqueItems (route to interpreter)")
+        return parts
+
+    # -- objects -----------------------------------------------------------------
+
+    def _object_keywords(self, node: SubSchema):
+        parts = []
+        needs_map = (node.required or node.properties_children
+                     or node.pattern_properties
+                     or node.additional_properties is not None
+                     or node.property_names is not None
+                     or node.min_properties is not None
+                     or node.max_properties is not None)
+        if not needs_map:
+            return parts
+
+        for key in [c.property for c in node.properties_children] + list(node.required):
+            if not _SIMPLE_KEY.match(key):
+                raise UnsupportedSchema(f"control chars in property name {key!r}")
+
+        def mp_of(v):
+            return F.try_variant_get(v, "$", "map<string,variant>")
+
+        def guard(t, cond):
+            return ~t.startswith("OBJECT") | cond
+
+        if node.min_properties is not None:
+            n = node.min_properties
+            parts.append(lambda v, t, n=n: guard(t, _nn(F.size(mp_of(v)) >= n)))
+        if node.max_properties is not None:
+            n = node.max_properties
+            parts.append(lambda v, t, n=n: guard(t, _nn(F.size(mp_of(v)) <= n)))
+
+        for req in node.required:
+            parts.append(lambda v, t, req=req: guard(
+                t, F.element_at(mp_of(v), F.lit(req)).isNotNull()))
+
+        for child in node.properties_children:
+            sub = self._node(child)
+
+            def prop(v, t, key=child.property, sub=sub):
+                val = F.element_at(mp_of(v), F.lit(key))
+                return guard(t, val.isNull() | _nn(sub(val)))
+
+            parts.append(prop)
+
+        pattern_pairs = []
+        for pat, (rx, child) in node.pattern_properties.items():
+            jp = translate_re2_java(pat)
+            sub = self._hof_node(child)
+            pattern_pairs.append((jp, sub))
+
+            def pat_props(v, t, jp=jp, sub=sub):
+                mp = mp_of(v)
+                return guard(t, _nn(F.forall(
+                    F.map_keys(mp),
+                    lambda k: ~k.rlike(jp) | _nn(sub(F.element_at(mp, k))))))
+
+            parts.append(pat_props)
+
+        if node.additional_properties is not None:
+            declared = [c.property for c in node.properties_children]
+            jps = [jp for jp, _ in pattern_pairs]
+            if node.additional_properties is False:
+                ap_sub = None
+            elif node.additional_properties is True:
+                ap_sub = "any"
+            else:
+                ap_sub = self._hof_node(node.additional_properties)
+
+            if ap_sub != "any":
+                def addl(v, t, declared=tuple(declared), jps=tuple(jps), ap_sub=ap_sub):
+                    mp = mp_of(v)
+
+                    def covered(k):
+                        c = F.lit(False)
+                        if declared:
+                            c = c | k.isin(*declared)
+                        for jp in jps:
+                            c = c | k.rlike(jp)
+                        return c
+
+                    if ap_sub is None:
+                        body = lambda k: covered(k)
+                    else:
+                        body = lambda k: covered(k) | _nn(ap_sub(F.element_at(mp, k)))
+                    return guard(t, _nn(F.forall(F.map_keys(mp), body)))
+
+                parts.append(addl)
+
+        if node.property_names is not None:
+            sub = self._string_instance_pred(node.property_names)
+            parts.append(lambda v, t, sub=sub: guard(
+                t, _nn(F.forall(F.map_keys(mp_of(v)), lambda k: sub(k)))))
+
+        return parts
+
+    def _string_instance_pred(self, node: SubSchema):
+        """Predicate over a plain STRING column (for propertyNames)."""
+        if node.pass_ is not None:
+            val = bool(node.pass_)
+            return lambda s: F.lit(val)
+        if node.ref_schema is not None:
+            return self._string_instance_pred(node.ref_schema)
+        unsupported = (node.any_of or node.one_of or node.all_of or node.not_
+                       or node.if_ or node.const_ is not None or node.enum
+                       or node.format or node.properties_children
+                       or node.minimum is not None or node.maximum is not None)
+        if unsupported:
+            raise UnsupportedSchema("complex propertyNames (route to interpreter)")
+        conds = []
+        if node.types and "string" not in node.types:
+            return lambda s: F.lit(False)
+        if node.min_length is not None:
+            n = node.min_length
+            conds.append(lambda s, n=n: F.length(s) >= n)
+        if node.max_length is not None:
+            n = node.max_length
+            conds.append(lambda s, n=n: F.length(s) <= n)
+        if node.pattern is not None:
+            jp = translate_re2_java(node.pattern_src)
+            conds.append(lambda s, jp=jp: s.rlike(jp))
+        return lambda s: _all([c(s) for c in conds])
+
+    def _format_check(self, name: str):
+        from .format_columns import format_column_pred
+
+        pred, is_sql = format_column_pred(name)
+        if pred is None or (self._hof_depth > 0 and not is_sql):
+            raise UnsupportedSchema(f"format {name!r} needs the interpreter/UDF path")
+
+        def check(v: Column, t: Column) -> Column:
+            s = F.try_variant_get(v, "$", "string")
+            return (t != "STRING") | _nn(pred(s))
+
+        return check
+
+
+def _frac_str(frac: Fraction) -> str:
+    """Exact decimal string for a Fraction with power-of-10 denominator."""
+    scaled = frac * 10**18
+    assert scaled.denominator == 1
+    neg = scaled.numerator < 0
+    digits = str(abs(scaled.numerator)).rjust(19, "0")
+    s = f"{digits[:-18]}.{digits[-18:]}"
+    return ("-" if neg else "") + s

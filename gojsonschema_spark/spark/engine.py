@@ -1,0 +1,94 @@
+"""SparkValidator — the engine facade.
+
+Compile once on the driver, validate set-at-a-time over DataFrames:
+
+* pass 1 (hot path): pure-SQL VARIANT predicate DAG -> ``valid`` bit,
+  whole-stage codegen, no Python in the loop;
+* pass 2 (lazy): violation rows elaborated by the Arrow-batched interpreter
+  UDF only for failing documents;
+* fallback: schemas outside the Column subset run entirely on the
+  interpreter UDF (same verdicts, exact semantics).
+
+Typical use::
+
+    v = SparkValidator({"type": "object", "required": ["url"], ...}, draft="draft7")
+    out = v.validate_json(df, "doc")          # adds valid + violations
+    bad = out.filter(~out.valid).select("doc", F.explode("violations"))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..core.compiler import Draft, SchemaCompiler
+from .columns import ColumnPlanCompiler, UnsupportedSchema
+from .udf import make_verdict_udf, make_violations_udf
+
+__all__ = ["SparkValidator"]
+
+
+class SparkValidator:
+    def __init__(self, schema, draft=Draft.HYBRID, auto_detect: bool = True,
+                 validate_schema: bool = False, compiler: SchemaCompiler = None,
+                 force_udf: bool = False):
+        self.compiler = compiler or SchemaCompiler(
+            draft=draft, auto_detect=auto_detect, validate_schema=validate_schema)
+        self.compiled = self.compiler.compile(schema)
+        self.column_plan = None
+        self.unsupported_reason = None
+        if not force_udf:
+            try:
+                self.column_plan = ColumnPlanCompiler(self.compiled).compile()
+            except UnsupportedSchema as e:
+                self.unsupported_reason = str(e)
+
+    @property
+    def uses_column_plan(self) -> bool:
+        return self.column_plan is not None
+
+    # -- public API -----------------------------------------------------------
+
+    def valid_column(self, variant_col: Column) -> Column:
+        """Pure-SQL 'valid' bit over a VARIANT column (column plan only)."""
+        if self.column_plan is None:
+            raise UnsupportedSchema(self.unsupported_reason or "no column plan")
+        return self.column_plan(variant_col)
+
+    def validate_json(self, df: DataFrame, doc_col: str,
+                      valid_col: str = "valid",
+                      violations_col: str | None = "violations") -> DataFrame:
+        """Validate a JSON-string column; appends `valid` (+ `violations`)."""
+        doc = F.col(doc_col)
+        if self.column_plan is not None:
+            v = F.try_parse_json(doc)
+            df = df.withColumn(valid_col, self.column_plan(v))
+            if violations_col:
+                elaborate = make_violations_udf(self.compiled)
+                df = df.withColumn(violations_col, elaborate(doc, F.col(valid_col)))
+            return df
+        verdict = make_verdict_udf(self.compiled,
+                                   with_violations=bool(violations_col))
+        tmp = "__verdict__"
+        df = df.withColumn(tmp, verdict(doc))
+        df = df.withColumn(valid_col, F.col(f"{tmp}.valid"))
+        if violations_col:
+            df = df.withColumn(violations_col, F.col(f"{tmp}.violations"))
+        return df.drop(tmp)
+
+    def validate_variant(self, df: DataFrame, variant_col: str,
+                         valid_col: str = "valid") -> DataFrame:
+        """Validate an existing VARIANT column on the pure-SQL path."""
+        return df.withColumn(valid_col, self.valid_column(F.col(variant_col)))
+
+    def violations_table(self, df: DataFrame, doc_col: str,
+                         key_cols: list[str]) -> DataFrame:
+        """Exploded violations table: one row per (document, violation)."""
+        out = self.validate_json(df, doc_col)
+        return (out.filter(~F.col("valid"))
+                   .select(*key_cols, F.explode("violations").alias("v"))
+                   .select(*key_cols,
+                           F.col("v.field").alias("field"),
+                           F.col("v.keyword").alias("keyword"),
+                           F.col("v.message").alias("message"),
+                           F.col("v.value").alias("value"),
+                           F.col("v.details").alias("details")))
