@@ -1,38 +1,412 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship schema validation over sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 keywords
+via the real SparkValidator engine + dataset-level ops from §2.7 and the
+training-data pipeline ops).
+``oracle_sql()`` — independent ANSI-SQL formulations for DuckDB.
+
+Spark queries run the actual engine (column plan or UDF fallback); the
+oracles re-derive expected results from the plain parquet columns, so a
+mismatch means a real engine bug, not a mirrored one.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gojsonschema_spark.spark.engine import SparkValidator
+from gojsonschema_spark.ops import dataset_checks as dc
+from gojsonschema_spark.ops import dedup as dd
+from gojsonschema_spark.ops import text as tx
+from gojsonschema_spark.ops import similarity as sim
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: perturbed documents -> JSON docs -> engine verdicts
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_DOC_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "type": "object",
+    "required": ["doc_id", "lang", "text", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "lang": {"type": "string", "pattern": "^[a-z]{2}$"},
+        "n_chars": {"type": "integer", "minimum": 1},
+        "text": {"type": "string", "minLength": 1},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+    },
+}
+
+
+def _flagship_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically perturb documents so verdicts vary:
+    doc_id%7==0 -> lang uppercased (pattern fails);
+    doc_id%11==0 -> n_chars negated (minimum fails);
+    doc_id%13==0 -> text dropped (required fails)."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.to_json(F.struct(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.upper("lang")).otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 11 == 0, -F.col("n_chars")).otherwise(F.col("n_chars")).alias("n_chars"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(F.col("text")).alias("text"),
+        F.col("source"),
+    ))
+    return d.select("doc_id", doc.alias("doc"))
+
+
+def q_validate_flagship(spark, sf_dir):
+    docs = _flagship_docs(spark, sf_dir)
+    v = SparkValidator(FLAGSHIP_DOC_SCHEMA)
+    return (v.validate_json(docs, "doc", violations_col=None)
+            .select("doc_id", "valid"))
+
+
+def q_violations_by_keyword(spark, sf_dir):
+    docs = _flagship_docs(spark, sf_dir)
+    v = SparkValidator(FLAGSHIP_DOC_SCHEMA)
+    return (v.violations_table(docs, "doc", ["doc_id"])
+            .groupBy("keyword").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_validate_events_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    v = SparkValidator({"type": "object", "required": ["k"],
+                        "properties": {"k": {"type": "integer",
+                                             "minimum": 5, "maximum": 90}}})
+    return (v.validate_json(e, "props", violations_col=None)
+            .select("event_id", "valid"))
+
+
+# ---------------------------------------------------------------------------
+# per-keyword micro-queries (each drives the real validator)
+# ---------------------------------------------------------------------------
+
+def _kw_query(schema: dict, doc_col):
+    def run(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang",
+                                                  "n_chars", "source")
+        docs = d.select("doc_id", doc_col().alias("doc"))
+        v = SparkValidator(schema)
+        return (v.validate_json(docs, "doc", violations_col=None)
+                .select("doc_id", "valid"))
+    return run
+
+
+q_kw_enum = _kw_query(
+    {"type": "object", "required": ["lang"],
+     "properties": {"lang": {"enum": ["en", "de", "fr"]}}},
+    lambda: F.to_json(F.struct(F.col("lang"))))
+
+q_kw_type_union = _kw_query(
+    {"properties": {"v": {"type": ["integer", "null"]}}},
+    lambda: F.concat(F.lit('{"v": '),
+                     F.when(F.col("doc_id") % 3 == 0, F.lit("1"))
+                      .when(F.col("doc_id") % 3 == 1, F.lit('"s"'))
+                      .otherwise(F.lit("null")),
+                     F.lit("}")))
+
+q_kw_bounds = _kw_query(
+    {"properties": {"n": {"exclusiveMinimum": 100, "exclusiveMaximum": 400}}},
+    lambda: F.to_json(F.struct(F.col("n_chars").alias("n"))))
+
+q_kw_multipleof = _kw_query(
+    {"properties": {"n": {"multipleOf": 3}}},
+    lambda: F.to_json(F.struct(F.col("n_chars").alias("n"))))
+
+q_kw_length = _kw_query(
+    {"properties": {"t": {"minLength": 50, "maxLength": 300}}},
+    lambda: F.to_json(F.struct(F.col("text").alias("t"))))
+
+q_kw_anyof = _kw_query(
+    {"anyOf": [
+        {"type": "object", "properties": {"n": {"minimum": 300}}, "required": ["n"]},
+        {"type": "object", "properties": {"l": {"const": "en"}}, "required": ["l"]}]},
+    lambda: F.to_json(F.struct(F.col("n_chars").alias("n"), F.col("lang").alias("l"))))
+
+q_kw_oneof = _kw_query(
+    {"oneOf": [
+        {"type": "object", "properties": {"n": {"multipleOf": 2}}, "required": ["n"]},
+        {"type": "object", "properties": {"n": {"multipleOf": 3}}, "required": ["n"]}]},
+    lambda: F.to_json(F.struct(F.col("n_chars").alias("n"))))
+
+q_kw_items_unique = _kw_query(
+    # uniqueItems routes this schema to the interpreter-UDF path by design
+    {"properties": {"a": {"items": {"minimum": 100}, "uniqueItems": True}}},
+    lambda: F.concat(F.lit('{"a": ['), F.col("n_chars"), F.lit(", "),
+                     F.col("n_chars") + 1, F.lit("]}")))
+
+q_kw_dependencies = _kw_query(
+    {"dependencies": {"a": ["b"]}},
+    lambda: F.concat(
+        F.lit("{"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit('"a": 1, ')).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit('"b": 1, ')).otherwise(F.lit("")),
+        F.lit('"z": 0}')))
+
+q_kw_if_then_else = _kw_query(
+    {"$schema": "http://json-schema.org/draft-07/schema#",
+     "if": {"properties": {"l": {"const": "en"}}, "required": ["l"]},
+     "then": {"properties": {"n": {"minimum": 200}}, "required": ["n"]},
+     "else": {"properties": {"n": {"maximum": 400}}, "required": ["n"]}},
+    lambda: F.to_json(F.struct(F.col("lang").alias("l"), F.col("n_chars").alias("n"))))
+
+q_kw_format_hostname = _kw_query(
+    {"properties": {"h": {"format": "hostname"}}, "required": ["h"]},
+    lambda: F.to_json(F.struct(
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("_"), F.col("source")))
+         .otherwise(F.concat(F.col("source"), F.lit(".example.com"))).alias("h"))))
+
+q_kw_format_date = _kw_query(
+    {"properties": {"d": {"format": "date"}}, "required": ["d"]},
+    lambda: F.to_json(F.struct(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("2020-13-01"))
+         .otherwise(F.lit("2020-06-15")).alias("d"))))
+
+
+# ---------------------------------------------------------------------------
+# dataset-level checks (SURVEY.md §2.7 / north_star)
+# ---------------------------------------------------------------------------
+
+def q_stats_n_chars(spark, sf_dir):
+    return dc.column_stats(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+def q_percentiles_n_chars(spark, sf_dir):
+    return dc.numeric_percentiles(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+def q_uniqueness_events_user(spark, sf_dir):
+    return dc.uniqueness_ratio(_t(spark, sf_dir, "events"), "user_id",
+                               approximate=False)
+
+
+def q_referential_orphans(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    orphans = dc.referential_orphans(events, "user_id", dim, "c_custkey")
+    return (orphans.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_orphans")))
+
+
+def q_drift_lang_kl(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    half = d.agg(F.max("doc_id")).collect()[0][0] // 2
+    return dc.categorical_drift_kl(d.filter(F.col("doc_id") <= half),
+                                   d.filter(F.col("doc_id") > half), "lang")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(spark, sf_dir):
+    """documents + re-keyed copies of every 10th doc (guaranteed dups)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") % 10 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return d.unionAll(dups)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(_dup_corpus(spark, sf_dir)).select("fp", "n_dups")
+
+
+def q_text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.token_count(d))
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_score(d).select("doc_id", "n_tokens", "stop_ratio",
+                                      "mean_tok_len")
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return sim.brute_force_topk(e, qvec, k=10)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    # oracle omitted (not SQL-expressible) -> driver rows-only check
+    return dd.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), num_hashes=32,
+                                bands=8)
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dd.simhash(F.col("text"), bits=16).alias("sh"))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship validation over sf0.001: per-document verdict + keyword."""
+    return q_validate_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "validate_flagship": q_validate_flagship,
+        "violations_by_keyword": q_violations_by_keyword,
+        "validate_events_props": q_validate_events_props,
+        "kw_enum": q_kw_enum,
+        "kw_type_union": q_kw_type_union,
+        "kw_bounds": q_kw_bounds,
+        "kw_multipleof": q_kw_multipleof,
+        "kw_length": q_kw_length,
+        "kw_anyof": q_kw_anyof,
+        "kw_oneof": q_kw_oneof,
+        "kw_items_unique": q_kw_items_unique,
+        "kw_dependencies": q_kw_dependencies,
+        "kw_if_then_else": q_kw_if_then_else,
+        "kw_format_hostname": q_kw_format_hostname,
+        "kw_format_date": q_kw_format_date,
+        "stats_n_chars": q_stats_n_chars,
+        "percentiles_n_chars": q_percentiles_n_chars,
+        "uniqueness_events_user": q_uniqueness_events_user,
+        "referential_orphans": q_referential_orphans,
+        "drift_lang_kl": q_drift_lang_kl,
+        "dedup_exact": q_dedup_exact,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    flagship_valid = ("(doc_id % 7 <> 0 AND doc_id % 11 <> 0 "
+                      "AND doc_id % 13 <> 0)")
+    return {
+        "validate_flagship":
+            f"SELECT doc_id, {flagship_valid} AS valid FROM documents",
+        "violations_by_keyword": """
+            SELECT 'pattern' AS keyword, count(*) AS n FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'number_gte', count(*) FROM documents WHERE doc_id % 11 = 0
+            UNION ALL
+            SELECT 'required', count(*) FROM documents WHERE doc_id % 13 = 0
+        """,
+        "validate_events_props": """
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT) BETWEEN 5 AND 90 AS valid
+            FROM events
+        """,
+        "kw_enum": "SELECT doc_id, lang IN ('en','de','fr') AS valid FROM documents",
+        "kw_type_union": "SELECT doc_id, doc_id % 3 <> 1 AS valid FROM documents",
+        "kw_bounds": ("SELECT doc_id, n_chars > 100 AND n_chars < 400 AS valid "
+                      "FROM documents"),
+        "kw_multipleof": "SELECT doc_id, n_chars % 3 = 0 AS valid FROM documents",
+        "kw_length": ("SELECT doc_id, len(text) BETWEEN 50 AND 300 AS valid "
+                      "FROM documents"),
+        "kw_anyof": ("SELECT doc_id, n_chars >= 300 OR lang = 'en' AS valid "
+                     "FROM documents"),
+        "kw_oneof": ("SELECT doc_id, (n_chars % 2 = 0) <> (n_chars % 3 = 0) AS valid "
+                     "FROM documents"),
+        "kw_items_unique": ("SELECT doc_id, n_chars >= 100 AS valid FROM documents"),
+        "kw_dependencies": ("SELECT doc_id, (doc_id % 2 <> 0 OR doc_id % 3 = 0) AS valid "
+                            "FROM documents"),
+        "kw_if_then_else": """
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN n_chars >= 200 ELSE n_chars <= 400 END AS valid
+            FROM documents
+        """,
+        "kw_format_hostname": "SELECT doc_id, doc_id % 4 <> 0 AS valid FROM documents",
+        "kw_format_date": "SELECT doc_id, doc_id % 5 <> 0 AS valid FROM documents",
+        "stats_n_chars": """
+            SELECT count(n_chars) AS n, min(n_chars) AS min_v, max(n_chars) AS max_v,
+                   round(avg(n_chars), 6) AS avg_v,
+                   round(stddev_samp(n_chars), 6) AS stddev_v
+            FROM documents
+        """,
+        "percentiles_n_chars": """
+            SELECT round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.50), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75
+            FROM documents
+        """,
+        "uniqueness_events_user": """
+            SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_distinct FROM events
+        """,
+        "referential_orphans": """
+            SELECT user_id, count(*) AS n_orphans
+            FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+            GROUP BY user_id
+        """,
+        "drift_lang_kl": """
+            WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+            p AS (SELECT lang, count(*) * 1.0 / (SELECT count(*) FROM documents, half WHERE doc_id <= h) AS p
+                  FROM documents, half WHERE doc_id <= h GROUP BY lang),
+            q AS (SELECT lang, count(*) * 1.0 / (SELECT count(*) FROM documents, half WHERE doc_id > h) AS q
+                  FROM documents, half WHERE doc_id > h GROUP BY lang)
+            SELECT round(sum(p.p * ln(p.p / q.q)), 6) AS kl_divergence
+            FROM p JOIN q USING (lang)
+        """,
+        "dedup_exact": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   count(*) AS n_dups
+            FROM corpus GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "text_token_count": """
+            SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+                FROM documents
+            )
+            SELECT doc_id, len(ts) AS n_tokens,
+                   round(len(list_filter(ts, t -> lower(t) IN
+                       ('the','a','and','of','to','in','is','it','that','for')))
+                       * 1.0 / greatest(len(ts), 1), 6) AS stop_ratio,
+                   round(list_sum(list_transform(ts, t -> len(t)))
+                       * 1.0 / greatest(len(ts), 1), 6) AS mean_tok_len
+            FROM toks
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) /
+                         (greatest(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 1e-12) *
+                          greatest(sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))), 1e-12)), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        # minhash_lsh_pairs, simhash: not SQL-expressible -> rows-only check
+    }

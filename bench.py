@@ -1,0 +1,235 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: documents validated/sec — the flagship web-page schema compiled
+to the pure-SQL column plan, run over a deterministically generated
+Common-Crawl-style corpus (BASELINE.json input_hint shape) written once
+to parquet, plus the dataset-level checks and pipeline ops.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_ROWS  web-pages corpus size (default 500_000)
+
+Modes:
+  python bench.py             one JSON line (driver contract)
+  python bench.py --scaling   run the same job at local[8] and local[32],
+                              report throughput at both + efficiency
+                              (BASELINE.md north-rule evidence) and write
+                              BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+PAGES_PATH = f"/tmp/spark_graft_bench/webpages_{N_PAGES}.parquet"
+
+
+def get_spark(cpus: int, master: str | None = None):
+    """Session tuned for this box: pinned heap (lazy G1 heap growth measured
+    10-40x erratic pauses under the sandbox hypervisor), ParallelGC, input
+    splits sized so the scan parallelism matches the core count."""
+    from pyspark.sql import SparkSession
+
+    return (SparkSession.builder.master(master or f"local[{cpus}]")
+            .appName("gojsonschema_spark-bench")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+            .config("spark.driver.extraJavaOptions",
+                    "-Xms12g -XX:+UseParallelGC")
+            .config("spark.executor.memory", "3g")
+            .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+            .config("spark.sql.files.maxPartitionBytes", "16m")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def ensure_pages(spark) -> None:
+    """Generate the corpus once (not timed); partitioned for the scan."""
+    if os.path.exists(PAGES_PATH + "/_SUCCESS"):
+        return
+    from gojsonschema_spark.ops.webpages import generate_webpages
+
+    (generate_webpages(spark, N_PAGES, partitions=64)
+     .write.mode("overwrite").parquet(PAGES_PATH))
+
+
+def bench_queries(spark) -> dict[str, float]:
+    """Each entry: name -> seconds for one action-terminated query."""
+    from pyspark.sql import functions as F
+
+    from gojsonschema_spark.ops import dataset_checks as dc
+    from gojsonschema_spark.ops import dedup as dd
+    from gojsonschema_spark.ops import similarity as sim
+    from gojsonschema_spark.ops import text as tx
+    from gojsonschema_spark.ops.webpages import FLAGSHIP_SCHEMA, webpage_doc_column
+    from gojsonschema_spark.spark.engine import SparkValidator
+
+    pages = spark.read.parquet(PAGES_PATH)
+    docs = pages.select(webpage_doc_column().alias("doc"))
+    v = SparkValidator(FLAGSHIP_SCHEMA)
+    assert v.uses_column_plan, v.unsupported_reason
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn, reps: int = 2):
+        # best-of-N: first execution pays JVM JIT/codegen warm-up, which
+        # dwarfs steady-state cost for short queries on this sandbox
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    # warm-up: tiny job to absorb JVM/codegen startup
+    docs.limit(10).count()
+
+    run("validate_pages_sql", lambda: v.validate_json(docs, "doc", violations_col=None)
+        .agg(F.count(F.lit(1)), F.sum(F.col("valid").cast("int"))).collect())
+    run("validate_pages_violations_50k", lambda: v.validate_json(docs.limit(50000), "doc")
+        .filter(~F.col("valid")).select(F.explode("violations").alias("x"))
+        .groupBy("x.keyword").count().collect(), reps=1)
+    udf_v = SparkValidator(FLAGSHIP_SCHEMA, force_udf=True)
+    run("validate_pages_udf_20k", lambda: udf_v.validate_json(
+        docs.limit(20000), "doc", violations_col=None)
+        .agg(F.sum(F.col("valid").cast("int"))).collect(), reps=1)
+    run("uniqueness_url", lambda: dc.uniqueness_ratio(pages, "url").collect())
+    run("dup_urls_exact", lambda: dc.duplicate_keys(pages, "url")
+        .agg(F.count(F.lit(1)), F.sum("n_dups")).collect())
+    run("stats_text_len", lambda: dc.column_stats(
+        pages.select(F.length("text").alias("len")), "len").collect())
+    run("drift_lang", lambda: dc.categorical_drift_kl(
+        pages.filter(F.dayofmonth("warc_ts") <= 15),
+        pages.filter(F.dayofmonth("warc_ts") > 15), "lang").collect())
+    run("quality_scores", lambda: tx.quality_score(pages.select("text"))
+        .agg(F.round(F.avg("stop_ratio"), 6), F.round(F.avg("mean_tok_len"), 6),
+             F.sum("n_tokens")).collect())
+    run("dedup_minhash_docs", lambda: dd.minhash_lsh_pairs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        num_hashes=32, bands=8).count())
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0]]
+    run("ann_topk", lambda: sim.brute_force_topk(emb, qvec, k=10).collect())
+
+    return timings
+
+
+def flagship_only(spark) -> dict[str, float]:
+    """Just the headline query (used by --scaling at larger N)."""
+    from pyspark.sql import functions as F
+
+    from gojsonschema_spark.ops.webpages import FLAGSHIP_SCHEMA, webpage_doc_column
+    from gojsonschema_spark.spark.engine import SparkValidator
+
+    pages = spark.read.parquet(PAGES_PATH)
+    docs = pages.select(webpage_doc_column().alias("doc"))
+    v = SparkValidator(FLAGSHIP_SCHEMA)
+    docs.limit(10).count()
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (v.validate_json(docs, "doc", violations_col=None)
+         .agg(F.count(F.lit(1)), F.sum(F.col("valid").cast("int"))).collect())
+        best = min(best, time.perf_counter() - t0)
+    return {"validate_pages_sql": round(best, 3)}
+
+
+def one_pass(cpus: int, flagship: bool = False) -> dict:
+    spark = get_spark(cpus, master=os.environ.get("SPARK_GRAFT_MASTER"))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        ensure_pages(spark)
+        timings = flagship_only(spark) if flagship else bench_queries(spark)
+        total = round(sum(timings.values()), 3)
+        docs_per_sec = round(N_PAGES / timings["validate_pages_sql"], 1)
+        return {
+            "metric": "total_bench_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "cpus": cpus,
+            "n_pages": N_PAGES,
+            "docs_per_sec_flagship": docs_per_sec,
+        }
+    finally:
+        spark.stop()
+
+
+def scaling() -> None:
+    """north-rule scaling evidence: same job, same input, N vs 4N cores.
+
+    Uses a larger corpus (SPARK_GRAFT_SCALING_ROWS, default 2M pages) so
+    compute dominates fixed per-job costs — the regime the criterion is
+    about. Runs the flagship validation only, 3 reps, best-of."""
+    import subprocess
+
+    n_rows = os.environ.get("SPARK_GRAFT_SCALING_ROWS", "2000000")
+    results = {}
+    # N vs 4N EXECUTORS: local-cluster spawns separate executor JVMs —
+    # the honest multi-executor stand-in (own heaps, GC, python workers)
+    configs = {8: "local-cluster[2,4,3072]", 32: "local-cluster[8,4,3072]"}
+    for cpus, master in configs.items():
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_ROWS=n_rows,
+                   SPARK_GRAFT_MASTER=master)
+        out = subprocess.run([sys.executable, __file__, "--flagship-only"],
+                             env=env, capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"{master}: {results[cpus]['docs_per_sec_flagship']} docs/sec "
+              f"(total {results[cpus]['value']}s)")
+    n_pages = results[8]["n_pages"]
+    thr8 = results[8]["docs_per_sec_flagship"]
+    thr32 = results[32]["docs_per_sec_flagship"]
+    eff = round((thr32 / thr8) / 4.0, 3)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured scaling evidence
+
+Same flagship job (validate {n_pages} web pages, column plan) on the same
+parquet input at two parallelism levels (local[8] vs local[32] standing in
+for N vs 4N executors — sandbox per BASELINE.md):
+
+| parallelism | docs/sec (flagship) | total bench sec |
+|---|---|---|
+| local[8]  (N)  | {thr8} | {results[8]['value']} |
+| local[32] (4N) | {thr32} | {results[32]['value']} |
+
+**Throughput scaling efficiency (N -> 4N): {eff}**
+(criterion: >= 0.8 per BASELINE.json north_rule; efficiency =
+(throughput_4N / throughput_N) / 4)
+
+Per-query timings (sec):
+
+| query | local[8] | local[32] |
+|---|---|---|
+""")
+        for q in results[8]["queries"]:
+            f.write(f"| {q} | {results[8]['queries'][q]} | "
+                    f"{results[32]['queries'][q]} |\n")
+    print(f"scaling efficiency (8->32 cores): {eff}")
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--flagship-only" in sys.argv:
+        print(json.dumps(one_pass(CPUS, flagship=True)))
+    else:
+        print(json.dumps(one_pass(CPUS)))

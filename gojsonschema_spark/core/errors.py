@@ -62,6 +62,13 @@ MESSAGES = {
 _FIELD_RX = re.compile(r"\{(\w+)\}")
 
 
+def set_locale(overrides: dict) -> None:
+    """Override message templates by error type (reference: pluggable
+    locale, schema.go:39-46 / locales.go:28-193). Templates use
+    ``{placeholder}`` fields from the violation details."""
+    MESSAGES.update(overrides)
+
+
 class SchemaCompileError(ValueError):
     """Raised when a schema fails to compile (reference returns error)."""
 

@@ -166,6 +166,10 @@ def go_url_parse(raw: str) -> dict:
         _check_escapes(frag)
         raw = raw[:frag_at]
     scheme, rest = _split_scheme(raw)
+    if not scheme and not rest.startswith("/"):
+        # Go: "first path segment in URL cannot contain colon"
+        if ":" in rest.split("/", 1)[0]:
+            raise _URLError("first path segment in URL cannot contain colon")
     q_at = rest.find("?")
     if q_at >= 0:
         _check_escapes(rest[q_at + 1 :])

@@ -1,0 +1,112 @@
+"""Dataset-level constraint checks the single-document reference cannot
+express (SURVEY.md §2.7, BASELINE.json north_star): per-column stats,
+uniqueness, referential integrity, distribution drift.
+
+Scale notes (designed for ~10^12-row tables on 1000 executors):
+
+* stats are one partial-aggregate pass (map-side combine, no wide rows);
+* uniqueness offers an O(1)-memory approximate fast path
+  (count vs approx_count_distinct) and an exact groupBy that shuffles on
+  the key — salt or AQE-skew-split when one key dominates;
+* referential integrity broadcasts the dimension when small
+  (``broadcast_dim=True``) to avoid shuffling the fact table;
+* drift aggregates each side to a tiny histogram first — the join that
+  follows is over the category cardinality, never the data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "column_stats",
+    "numeric_percentiles",
+    "duplicate_keys",
+    "uniqueness_ratio",
+    "referential_orphans",
+    "categorical_drift_kl",
+    "histogram_drift_kl",
+]
+
+
+def column_stats(df: DataFrame, col: str, round_to: int = 6) -> DataFrame:
+    """count/min/max/avg/stddev in one partial-agg pass."""
+    c = F.col(col)
+    return df.agg(
+        F.count(c).alias("n"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.round(F.avg(c), round_to).alias("avg_v"),
+        F.round(F.stddev_samp(c), round_to).alias("stddev_v"),
+    )
+
+
+def numeric_percentiles(df: DataFrame, col: str, probs=(0.25, 0.5, 0.75),
+                        round_to: int = 6, approximate: bool = False) -> DataFrame:
+    """Interpolated percentiles. ``approximate=True`` uses the sketch-based
+    approx_percentile (one pass, bounded memory — the 100 TB path)."""
+    c = F.col(col)
+    if approximate:
+        pcts = F.percentile_approx(c, list(probs), 10000)
+    else:
+        pcts = F.percentile(c, F.lit(list(probs)))
+    cols = [F.round(pcts.getItem(i), round_to).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(probs)]
+    return df.agg(*cols)
+
+
+def duplicate_keys(df: DataFrame, key: str, min_count: int = 2) -> DataFrame:
+    """Exact duplicate detection: groupBy-shuffle on the key."""
+    return (df.groupBy(key)
+              .agg(F.count(F.lit(1)).alias("n_dups"))
+              .filter(F.col("n_dups") >= min_count))
+
+
+def uniqueness_ratio(df: DataFrame, key: str, approximate: bool = True) -> DataFrame:
+    """n_rows vs n_distinct(key). Approximate = HyperLogLog++, no shuffle of
+    wide rows; exact = count(distinct)."""
+    k = F.col(key)
+    distinct = (F.approx_count_distinct(k) if approximate
+                else F.count_distinct(k))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        distinct.alias("n_distinct"),
+    )
+
+
+def referential_orphans(fact: DataFrame, fact_key: str, dim: DataFrame,
+                        dim_key: str, broadcast_dim: bool = True) -> DataFrame:
+    """Rows of ``fact`` whose key has no match in ``dim`` (left_anti)."""
+    d = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return fact.join(d, on=fact_key, how="left_anti")
+
+
+def _cat_dist(df: DataFrame, col: str, p_name: str) -> DataFrame:
+    total = df.count()
+    return (df.groupBy(col)
+              .agg((F.count(F.lit(1)) / F.lit(total)).alias(p_name)))
+
+
+def categorical_drift_kl(df_p: DataFrame, df_q: DataFrame, col: str,
+                         round_to: int = 6) -> DataFrame:
+    """KL(P || Q) over a categorical column; inner-join on categories seen
+    in both (standard smoothed-support convention for drift monitoring).
+
+    Each side reduces to |categories| rows before the join — the join is
+    broadcastable and never scales with the data."""
+    p = _cat_dist(df_p, col, "p")
+    q = _cat_dist(df_q, col, "q")
+    joined = p.join(F.broadcast(q), on=col, how="inner")
+    return joined.agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), round_to)
+        .alias("kl_divergence"))
+
+
+def histogram_drift_kl(df_p: DataFrame, df_q: DataFrame, col: str,
+                       bucket_width: float, round_to: int = 6) -> DataFrame:
+    """KL drift over a numeric column bucketed by fixed width."""
+    b = (F.floor(F.col(col) / F.lit(bucket_width))).alias("bucket")
+    return categorical_drift_kl(df_p.select(b), df_q.select(b), "bucket",
+                                round_to=round_to)

@@ -1,0 +1,151 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB regime:
+
+* exact dedup is a hash-groupBy on a fingerprint (never on raw text —
+  shuffle carries 32-byte digests, not documents);
+* MinHash+LSH shuffles (band, bucket-signature) pairs; candidate pairs
+  are generated per-bucket so the cross-product never materializes
+  globally — skewed buckets are bounded by ``max_bucket`` (drop
+  degenerate buckets like empty-text, exactly what production pipelines
+  do);
+* everything is built from pyspark.sql functions (xxhash64, aggregate,
+  transform) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import normalize_text, tokenize
+
+__all__ = ["exact_duplicates", "shingles", "minhash_signatures",
+           "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs"]
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fp")
+    return (df.select(fp, F.col(key_col))
+              .groupBy("fp")
+              .agg(F.count(F.lit(1)).alias("n_dups"),
+                   F.sort_array(F.collect_list(key_col)).alias("members"))
+              .filter(F.col("n_dups") >= 2))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Token k-shingles (word n-grams) of the normalized text."""
+    toks = tokenize(normalize_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id", num_hashes: int = 64,
+                       k: int = 3) -> DataFrame:
+    """MinHash signatures via explode -> per-shingle hashes -> min-agg.
+
+    The explode (Generate) materializes shingles ONCE per document; the
+    num_hashes mins are map-side partial aggregates. This is both the
+    CSE-safe local formulation and the shape that scales: the shuffle
+    carries (key, 64 longs), never shingle text. (A single giant
+    array-expression signature was measured 100x slower: Catalyst CSE
+    cannot share the shingle computation across hash lanes.)"""
+    # small inputs often arrive as 1 file-partition; the explode multiplies
+    # rows ~100x, so spread it across the cluster first
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(par).select(
+        F.col(key_col).alias("k"),
+        F.explode(shingles(F.col(text_col), k)).alias("s"))
+    hashed = exploded.select(
+        "k", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)])
+    return hashed.groupBy("k").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      key_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, k: int = 3,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash.
+
+    rows = (key_a, key_b) with key_a < key_b, distinct across bands.
+    ``max_bucket`` drops degenerate buckets (skew guard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, key_col, num_hashes, k)
+    with_sig = sigs.select(
+        "k", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = with_sig.select(
+        "k",
+        F.explode(F.transform(
+            band_idx,
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                     lambda x: x.cast("string"))),
+                ).alias("bucket")))).alias("bb"),
+    ).select("k", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    grouped = (banded.groupBy("band", "bucket")
+                     .agg(F.sort_array(F.collect_list("k")).alias("ks"))
+                     .filter((F.size("ks") >= 2) & (F.size("ks") <= max_bucket)))
+    pairs = grouped.select(F.explode(_pairs_of("ks")).alias("p")) \
+                   .select(F.col("p.a").alias("key_a"), F.col("p.b").alias("key_b")) \
+                   .distinct()
+    return pairs
+
+
+def _pairs_of(arr_col: str) -> Column:
+    """All ordered pairs (a<b) of a sorted array column."""
+    arr = F.col(arr_col)
+    return F.flatten(F.transform(
+        arr, lambda a, i: F.transform(
+            F.slice(arr, i + 2, F.greatest(F.size(arr) - i - 1, F.lit(0))),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash: per token, xxhash64 -> for each bit position accumulate
+    +1/-1; sign vector packs into a bigint. Pure expressions."""
+    toks = tokenize(normalize_text(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote_fn(mask: int):
+        # closure factory: a default-arg lambda would be mis-read by
+        # pyspark's HOF arity inspection as a 3-arg (acc, x, i) lambda
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(mask))
+        bit_cols.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(mask))
+    out = F.lit(0)
+    for c in bit_cols:
+        out = out + c
+    return out.cast("long")
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", key_col: str = "doc_id",
+                        k: int = 3, threshold: float = 0.8,
+                        round_to: int = 6) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity.
+
+    ``pairs`` has (key_a, key_b); documents join in twice — broadcastable
+    when the candidate set is small, shuffle-join otherwise."""
+    sh = df.select(F.col(key_col).alias("k"),
+                   F.array_distinct(shingles(F.col(text_col), k)).alias("sh"))
+    a = sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("k").alias("key_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "key_a").join(b, "key_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter / F.greatest(union, F.lit(1)), round_to)
+    return (joined.select("key_a", "key_b", jac.alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold))

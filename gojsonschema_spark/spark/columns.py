@@ -2,7 +2,7 @@
 
 The hot path of the engine (SURVEY.md §1.4/§4): each schema node lowers to
 a boolean ``Column`` over a VARIANT value. Everything stays JVM-side inside
-whole-stage codegen — type dispatch via ``schema_of_variant``, presence via
+whole-stage codegen — type dispatch via cheap variant probes (container casts + to_json first-char), presence via
 ``element_at`` on a ``map<string,variant>`` cast (missing vs null is
 preserved: a JSON null is a non-SQL-null VOID variant), numeric comparisons
 on lexical-preserving DECIMAL casts with a DOUBLE fallback, regex via
@@ -47,22 +47,52 @@ def _all(preds: list[Column]) -> Column:
 
 
 def _nn(c: Column) -> Column:
-    """Null-safe boolean: missing/indeterminate counts as False."""
-    return F.coalesce(c, F.lit(False))
+    """Null-safe boolean: missing/indeterminate counts as False.
+
+    Uses eqNullSafe rather than coalesce: Coalesce/If/CaseWhen children are
+    'conditional' to Catalyst's subexpression elimination, so wrapping every
+    leaf in coalesce() disables CSE and the variant parse re-evaluates per
+    keyword (measured 30x+ slowdown). EqualNullSafe keeps the tree
+    unconditional -> parse_json/map-cast evaluate once per row."""
+    return c.eqNullSafe(F.lit(True))
 
 
-# --- variant type classification -------------------------------------------
+# --- variant type classification ---------------------------------------------
+#
+# schema_of_variant rebuilds a DDL type string per call and measured ~25x the
+# cost of the variant parse itself; type dispatch instead uses cheap probes:
+# container-ness via try-cast null-ness, scalar kind via the first character
+# of to_json (``"`` string, ``t``/``f`` boolean, ``n`` null, digit/``-``
+# number). All probes are plain deterministic expressions -> runtime CSE
+# shares them across keywords.
 
-def _vtype(v: Column) -> Column:
-    return F.schema_of_variant(v)
+def _mp(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "map<string,variant>")
+
+
+def _arr(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "array<variant>")
+
+
+def _fc(v: Column) -> Column:
+    """First char of the JSON rendering (scalar kind discriminator)."""
+    return F.substring(F.to_json(v), 1, 1)
 
 
 def _is_null(v: Column) -> Column:
     return _nn(F.is_variant_null(v))
 
 
-def _is_number(v: Column, t: Column) -> Column:
-    return (t == "BIGINT") | (t == "DOUBLE") | t.startswith("DECIMAL")
+def _is_string(v: Column) -> Column:
+    return _nn(_fc(v) == '"')
+
+
+def _is_boolean(v: Column) -> Column:
+    return _nn(_fc(v).isin("t", "f"))
+
+
+def _is_number(v: Column) -> Column:
+    return _nn(_fc(v).isin("-", "0", "1", "2", "3", "4", "5", "6", "7", "8", "9"))
 
 
 def _num_dec(v: Column) -> Column:
@@ -73,8 +103,8 @@ def _num_dbl(v: Column) -> Column:
     return F.try_variant_get(v, "$", "double")
 
 
-def _is_integer(v: Column, t: Column) -> Column:
-    return _is_number(v, t) & _nn(
+def _is_integer(v: Column) -> Column:
+    return _is_number(v) & _nn(
         F.coalesce(
             _num_dec(v) % 1 == 0,
             _num_dbl(v) % 1.0 == 0.0,
@@ -97,8 +127,9 @@ class ColumnPlanCompiler:
         pred = self._node(root)
 
         def plan(v: Column) -> Column:
-            # malformed / SQL-null documents are invalid on this path
-            return F.when(v.isNull(), F.lit(False)).otherwise(pred(v))
+            # malformed / SQL-null documents are invalid on this path.
+            # isNotNull & pred keeps the tree CSE-friendly (no CaseWhen).
+            return v.isNotNull() & _nn(pred(v))
 
         return plan
 
@@ -141,29 +172,28 @@ class ColumnPlanCompiler:
             parts.append(self._format_check(node.format))
 
         def pred(v: Column) -> Column:
-            t = _vtype(v)
-            return _all([p(v, t) for p in parts])
+            return _all([p(v) for p in parts])
 
         return pred
 
     def _type_check(self, types: list[str]):
-        def check(v: Column, t: Column) -> Column:
+        def check(v: Column) -> Column:
             alts = []
             for ty in types:
                 if ty == "null":
                     alts.append(_is_null(v))
                 elif ty == "boolean":
-                    alts.append(t == "BOOLEAN")
+                    alts.append(_is_boolean(v))
                 elif ty == "string":
-                    alts.append(t == "STRING")
+                    alts.append(_is_string(v))
                 elif ty == "number":
-                    alts.append(_is_number(v, t))
+                    alts.append(_is_number(v))
                 elif ty == "integer":
-                    alts.append(_is_integer(v, t))
+                    alts.append(_is_integer(v))
                 elif ty == "array":
-                    alts.append(t.startswith("ARRAY"))
+                    alts.append(_arr(v).isNotNull())
                 elif ty == "object":
-                    alts.append(t.startswith("OBJECT"))
+                    alts.append(_mp(v).isNotNull())
             out = alts[0]
             for a in alts[1:]:
                 out = out | a
@@ -177,15 +207,15 @@ class ColumnPlanCompiler:
         parts = []
         if node.any_of:
             subs = [self._node(s) for s in node.any_of]
-            parts.append(lambda v, t, subs=subs: F.greatest(*[s(v) for s in subs])
+            parts.append(lambda v, subs=subs: F.greatest(*[s(v) for s in subs])
                          if len(subs) > 1 else subs[0](v))
         if node.all_of:
             subs = [self._node(s) for s in node.all_of]
-            parts.append(lambda v, t, subs=subs: _all([s(v) for s in subs]))
+            parts.append(lambda v, subs=subs: _all([s(v) for s in subs]))
         if node.one_of:
             subs = [self._node(s) for s in node.one_of]
 
-            def one_of(v, t, subs=subs):
+            def one_of(v, subs=subs):
                 total = None
                 for s in subs:
                     c = s(v).cast("int")
@@ -195,13 +225,13 @@ class ColumnPlanCompiler:
             parts.append(one_of)
         if node.not_ is not None:
             sub = self._node(node.not_)
-            parts.append(lambda v, t, sub=sub: ~sub(v))
+            parts.append(lambda v, sub=sub: ~sub(v))
         if node.if_ is not None:
             p_if = self._node(node.if_)
             p_then = self._node(node.then_) if node.then_ is not None else None
             p_else = self._node(node.else_) if node.else_ is not None else None
 
-            def ite(v, t, p_if=p_if, p_then=p_then, p_else=p_else):
+            def ite(v, p_if=p_if, p_then=p_then, p_else=p_else):
                 then_c = p_then(v) if p_then is not None else _true()
                 else_c = p_else(v) if p_else is not None else _true()
                 return F.when(p_if(v), then_c).otherwise(else_c)
@@ -210,21 +240,21 @@ class ColumnPlanCompiler:
         if node.dependencies:
             for key, dep in node.dependencies.items():
                 if isinstance(dep, list):
-                    def dep_list(v, t, key=key, names=tuple(dep)):
-                        mp = F.try_variant_get(v, "$", "map<string,variant>")
+                    def dep_list(v, key=key, names=tuple(dep)):
+                        mp = _mp(v)
                         present = F.element_at(mp, F.lit(key)).isNotNull()
                         needs = _all([F.element_at(mp, F.lit(n)).isNotNull()
                                       for n in names])
-                        return ~t.startswith("OBJECT") | ~_nn(present) | needs
+                        return mp.isNull() | ~_nn(present) | needs
 
                     parts.append(dep_list)
                 else:
                     sub = self._node(dep)
 
-                    def dep_schema(v, t, key=key, sub=sub):
-                        mp = F.try_variant_get(v, "$", "map<string,variant>")
+                    def dep_schema(v, key=key, sub=sub):
+                        mp = _mp(v)
                         present = F.element_at(mp, F.lit(key)).isNotNull()
-                        return ~t.startswith("OBJECT") | ~_nn(present) | sub(v)
+                        return mp.isNull() | ~_nn(present) | sub(v)
 
                     parts.append(dep_schema)
         return parts
@@ -236,22 +266,21 @@ class ColumnPlanCompiler:
 
         canon is the canonical JSON string of the allowed value."""
         if canon == "null":
-            return lambda v, t: _is_null(v)
+            return lambda v: _is_null(v)
         if canon in ("true", "false"):
-            want = canon == "true"
-            return lambda v, t: (t == "BOOLEAN") & _nn(
-                F.try_variant_get(v, "$", "boolean") == F.lit(want))
+            want = "t" if canon == "true" else "f"
+            return lambda v: _nn(_fc(v) == want)
         if canon.startswith('"'):
             import json as _json
             s = _json.loads(canon)
-            return lambda v, t: (t == "STRING") & _nn(
+            return lambda v: _is_string(v) & _nn(
                 F.try_variant_get(v, "$", "string") == F.lit(s))
         # number
         try:
             frac = Fraction(canon)
         except ValueError:
             raise UnsupportedSchema(f"non-scalar const/enum value {canon!r}")
-        return lambda v, t: _is_number(v, t) & self._num_eq(v, frac)
+        return lambda v: _is_number(v) & self._num_eq(v, frac)
 
     def _num_eq(self, v: Column, frac: Fraction) -> Column:
         dec = self._dec_literal(frac)
@@ -278,10 +307,10 @@ class ColumnPlanCompiler:
         if node.enum:
             alt_preds = [self._scalar_literal_pred(c) for c in node.enum]
 
-            def enum_pred(v, t, alts=alt_preds):
+            def enum_pred(v, alts=alt_preds):
                 out = None
                 for a in alts:
-                    c = a(v, t)
+                    c = a(v)
                     out = c if out is None else out | c
                 return out
 
@@ -293,8 +322,8 @@ class ColumnPlanCompiler:
     def _number_keywords(self, node: SubSchema):
         parts = []
 
-        def guard(v, t, cond):
-            return ~_is_number(v, t) | cond
+        def guard(v, cond):
+            return ~_is_number(v) | cond
 
         for bound, op in ((node.minimum, ">="), (node.maximum, "<="),
                           (node.exclusive_minimum, ">"), (node.exclusive_maximum, "<")):
@@ -303,7 +332,7 @@ class ColumnPlanCompiler:
             dec = self._dec_literal(bound)
             fb = float(bound)
 
-            def cmp(v, t, op=op, dec=dec, fb=fb):
+            def cmp(v, op=op, dec=dec, fb=fb):
                 d = _num_dec(v)
                 dd = _num_dbl(v)
                 def apply(col, lit):
@@ -313,7 +342,7 @@ class ColumnPlanCompiler:
                     c = F.coalesce(apply(d, dec()), apply(dd, F.lit(fb)))
                 else:
                     c = apply(dd, F.lit(fb))
-                return guard(v, t, _nn(c))
+                return guard(v, _nn(c))
 
             parts.append(cmp)
 
@@ -324,11 +353,11 @@ class ColumnPlanCompiler:
                 raise UnsupportedSchema("multipleOf needs exact rational path")
             fm = float(m)
 
-            def multiple(v, t, dec=dec, fm=fm):
+            def multiple(v, dec=dec, fm=fm):
                 d = _num_dec(v)
                 dd = _num_dbl(v)
                 c = F.coalesce(d % dec() == 0, (dd / F.lit(fm)) % 1.0 == 0.0)
-                return guard(v, t, _nn(c))
+                return guard(v, _nn(c))
 
             parts.append(multiple)
         return parts
@@ -345,13 +374,13 @@ class ColumnPlanCompiler:
 
         if node.min_length is not None:
             n = node.min_length
-            parts.append(lambda v, t, n=n: (t != "STRING") | _nn(F.length(s_of(v)) >= n))
+            parts.append(lambda v, n=n: ~_is_string(v) | _nn(F.length(s_of(v)) >= n))
         if node.max_length is not None:
             n = node.max_length
-            parts.append(lambda v, t, n=n: (t != "STRING") | _nn(F.length(s_of(v)) <= n))
+            parts.append(lambda v, n=n: ~_is_string(v) | _nn(F.length(s_of(v)) <= n))
         if node.pattern is not None:
             jp = translate_re2_java(node.pattern_src)
-            parts.append(lambda v, t, jp=jp: (t != "STRING") | _nn(s_of(v).rlike(jp)))
+            parts.append(lambda v, jp=jp: ~_is_string(v) | _nn(s_of(v).rlike(jp)))
         return parts
 
     # -- arrays ------------------------------------------------------------------
@@ -363,53 +392,50 @@ class ColumnPlanCompiler:
                 or node.contains is not None or node.unique_items):
             return parts
 
-        def arr_of(v):
-            return F.try_variant_get(v, "$", "array<variant>")
-
-        def guard(t, cond):
-            return ~t.startswith("ARRAY") | cond
+        def guard(v, cond):
+            return _arr(v).isNull() | cond
 
         if node.min_items is not None:
             n = node.min_items
-            parts.append(lambda v, t, n=n: guard(t, _nn(F.size(arr_of(v)) >= n)))
+            parts.append(lambda v, n=n: guard(v, _nn(F.size(_arr(v)) >= n)))
         if node.max_items is not None:
             n = node.max_items
-            parts.append(lambda v, t, n=n: guard(t, _nn(F.size(arr_of(v)) <= n)))
+            parts.append(lambda v, n=n: guard(v, _nn(F.size(_arr(v)) <= n)))
 
         if node.items_single and node.items_children:
             sub = self._hof_node(node.items_children[0])
-            parts.append(lambda v, t, sub=sub: guard(
-                t, _nn(F.forall(arr_of(v), lambda x: sub(x)))))
+            parts.append(lambda v, sub=sub: guard(
+                v, _nn(F.forall(_arr(v), lambda x: sub(x)))))
         elif node.items_children:
             subs = [self._node(s) for s in node.items_children]
             n = len(subs)
 
-            def tuple_items(v, t, subs=subs, n=n):
-                arr = arr_of(v)
+            def tuple_items(v, subs=subs, n=n):
+                arr = _arr(v)
                 sz = F.size(arr)
                 conds = []
                 for i, s in enumerate(subs):
                     conds.append((sz <= i) | _nn(s(F.element_at(arr, i + 1))))
-                return guard(t, _all(conds))
+                return guard(v, _all(conds))
 
             parts.append(tuple_items)
             if node.additional_items is False:
-                parts.append(lambda v, t, n=n: guard(t, _nn(F.size(arr_of(v)) <= n)))
+                parts.append(lambda v, n=n: guard(v, _nn(F.size(_arr(v)) <= n)))
             elif isinstance(node.additional_items, SubSchema):
                 sub = self._hof_node(node.additional_items)
 
-                def extra_items(v, t, sub=sub, n=n):
-                    arr = arr_of(v)
+                def extra_items(v, sub=sub, n=n):
+                    arr = _arr(v)
                     sz = F.size(arr)
                     tail = F.slice(arr, n + 1, F.greatest(sz - n, F.lit(0)))
-                    return guard(t, (sz <= n) | _nn(F.forall(tail, lambda x: sub(x))))
+                    return guard(v, (sz <= n) | _nn(F.forall(tail, lambda x: sub(x))))
 
                 parts.append(extra_items)
 
         if node.contains is not None:
             sub = self._hof_node(node.contains)
-            parts.append(lambda v, t, sub=sub: guard(
-                t, _nn(F.exists(arr_of(v), lambda x: sub(x)))))
+            parts.append(lambda v, sub=sub: guard(
+                v, _nn(F.exists(_arr(v), lambda x: sub(x)))))
 
         if node.unique_items:
             # canonical-JSON uniqueness is exact only for scalar elements on
@@ -434,29 +460,26 @@ class ColumnPlanCompiler:
             if not _SIMPLE_KEY.match(key):
                 raise UnsupportedSchema(f"control chars in property name {key!r}")
 
-        def mp_of(v):
-            return F.try_variant_get(v, "$", "map<string,variant>")
-
-        def guard(t, cond):
-            return ~t.startswith("OBJECT") | cond
+        def guard(v, cond):
+            return _mp(v).isNull() | cond
 
         if node.min_properties is not None:
             n = node.min_properties
-            parts.append(lambda v, t, n=n: guard(t, _nn(F.size(mp_of(v)) >= n)))
+            parts.append(lambda v, n=n: guard(v, _nn(F.size(_mp(v)) >= n)))
         if node.max_properties is not None:
             n = node.max_properties
-            parts.append(lambda v, t, n=n: guard(t, _nn(F.size(mp_of(v)) <= n)))
+            parts.append(lambda v, n=n: guard(v, _nn(F.size(_mp(v)) <= n)))
 
         for req in node.required:
-            parts.append(lambda v, t, req=req: guard(
-                t, F.element_at(mp_of(v), F.lit(req)).isNotNull()))
+            parts.append(lambda v, req=req: guard(
+                v, F.element_at(_mp(v), F.lit(req)).isNotNull()))
 
         for child in node.properties_children:
             sub = self._node(child)
 
-            def prop(v, t, key=child.property, sub=sub):
-                val = F.element_at(mp_of(v), F.lit(key))
-                return guard(t, val.isNull() | _nn(sub(val)))
+            def prop(v, key=child.property, sub=sub):
+                val = F.element_at(_mp(v), F.lit(key))
+                return guard(v, val.isNull() | _nn(sub(val)))
 
             parts.append(prop)
 
@@ -466,9 +489,9 @@ class ColumnPlanCompiler:
             sub = self._hof_node(child)
             pattern_pairs.append((jp, sub))
 
-            def pat_props(v, t, jp=jp, sub=sub):
-                mp = mp_of(v)
-                return guard(t, _nn(F.forall(
+            def pat_props(v, jp=jp, sub=sub):
+                mp = _mp(v)
+                return guard(v, _nn(F.forall(
                     F.map_keys(mp),
                     lambda k: ~k.rlike(jp) | _nn(sub(F.element_at(mp, k))))))
 
@@ -485,8 +508,8 @@ class ColumnPlanCompiler:
                 ap_sub = self._hof_node(node.additional_properties)
 
             if ap_sub != "any":
-                def addl(v, t, declared=tuple(declared), jps=tuple(jps), ap_sub=ap_sub):
-                    mp = mp_of(v)
+                def addl(v, declared=tuple(declared), jps=tuple(jps), ap_sub=ap_sub):
+                    mp = _mp(v)
 
                     def covered(k):
                         c = F.lit(False)
@@ -500,14 +523,14 @@ class ColumnPlanCompiler:
                         body = lambda k: covered(k)
                     else:
                         body = lambda k: covered(k) | _nn(ap_sub(F.element_at(mp, k)))
-                    return guard(t, _nn(F.forall(F.map_keys(mp), body)))
+                    return guard(v, _nn(F.forall(F.map_keys(mp), body)))
 
                 parts.append(addl)
 
         if node.property_names is not None:
             sub = self._string_instance_pred(node.property_names)
-            parts.append(lambda v, t, sub=sub: guard(
-                t, _nn(F.forall(F.map_keys(mp_of(v)), lambda k: sub(k)))))
+            parts.append(lambda v, sub=sub: guard(
+                v, _nn(F.forall(F.map_keys(_mp(v)), lambda k: sub(k)))))
 
         return parts
 
@@ -545,9 +568,9 @@ class ColumnPlanCompiler:
         if pred is None or (self._hof_depth > 0 and not is_sql):
             raise UnsupportedSchema(f"format {name!r} needs the interpreter/UDF path")
 
-        def check(v: Column, t: Column) -> Column:
+        def check(v: Column) -> Column:
             s = F.try_variant_get(v, "$", "string")
-            return (t != "STRING") | _nn(pred(s))
+            return ~_is_string(v) | _nn(pred(s))
 
         return check
 

@@ -27,6 +27,12 @@ from .udf import make_verdict_udf, make_violations_udf
 __all__ = ["SparkValidator"]
 
 
+def _barrier(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    """Materialize ``expr`` as column ``name`` behind a Generate node so
+    CollapseProject cannot re-inline it into every consumer."""
+    return df.select("*", F.explode(F.array(expr)).alias(name))
+
+
 class SparkValidator:
     def __init__(self, schema, draft=Draft.HYBRID, auto_detect: bool = True,
                  validate_schema: bool = False, compiler: SchemaCompiler = None,
@@ -60,12 +66,20 @@ class SparkValidator:
         """Validate a JSON-string column; appends `valid` (+ `violations`)."""
         doc = F.col(doc_col)
         if self.column_plan is not None:
-            v = F.try_parse_json(doc)
-            df = df.withColumn(valid_col, self.column_plan(v))
+            # explode(array(x)) is a Generate node: a deliberate projection
+            # barrier so (a) the variant parse materializes once instead of
+            # being re-inlined per keyword by CollapseProject, and (b) the
+            # pass-2 UDF receives the `valid` ATTRIBUTE, not a re-evaluated
+            # (interpreted, non-codegen) copy of the whole predicate.
+            df = _barrier(df, "__gjs_v", F.try_parse_json(doc))
+            df = df.withColumn(valid_col, self.column_plan(F.col("__gjs_v")))
             if violations_col:
+                df = _barrier(df, "__gjs_valid", F.col(valid_col))
                 elaborate = make_violations_udf(self.compiled)
-                df = df.withColumn(violations_col, elaborate(doc, F.col(valid_col)))
-            return df
+                df = df.withColumn(violations_col,
+                                   elaborate(doc, F.col("__gjs_valid")))
+                df = df.drop("__gjs_valid")
+            return df.drop("__gjs_v")
         verdict = make_verdict_udf(self.compiled,
                                    with_violations=bool(violations_col))
         tmp = "__verdict__"

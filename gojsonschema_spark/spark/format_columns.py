@@ -82,6 +82,64 @@ def _udf_for(name: str):
     return pred
 
 
+# --- Go net/url.Parse verdicts in pure SQL ----------------------------------
+# (keeps format:uri out of Python — it was the scaling bottleneck: every
+# JVM thread blocked on the Arrow round-trip at high parallelism)
+
+_CTRL = "[\\x00-\\x1f\\x7f]"
+_BAD_ESC = "%(?![0-9a-fA-F]{2})"          # '%' not followed by 2 hex digits
+_SCHEME = "^[A-Za-z][A-Za-z0-9+.-]*:"
+_USERINFO_RX = "^[A-Za-z0-9\\-._~!$&'()*+,;=:%]*$"
+
+
+def _authority_of(s: Column) -> Column:
+    """The //authority component if present (after an optional scheme)."""
+    return F.regexp_extract(s, "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]*)", 1)
+
+
+def _host_port_ok(hp: Column) -> Column:
+    bracketed = hp.startswith("[")
+    br_ok = hp.rlike("^\\[[^\\]]*\\](:[0-9]*)?\\z")
+    # non-bracketed: Go splits the port at the LAST colon; the port must be
+    # digits (or empty); the host part rejects ASCII space, ", <, >
+    last = F.substring_index(hp, ":", -1)
+    has_colon = hp.contains(":")
+    port_ok = ~has_colon | last.rlike("^[0-9]*\\z")
+    host = F.when(has_colon,
+                  F.substring(hp, F.lit(1),
+                              F.length(hp) - F.length(last) - 1)).otherwise(hp)
+    host_ok = ~host.rlike('[ "<>]')
+    return F.when(bracketed, br_ok).otherwise(port_ok & host_ok)
+
+
+def _go_url_ok(s: Column) -> Column:
+    """Does Go net/url.Parse accept this string (no backslash rule here)?"""
+    # "first path segment in URL cannot contain colon": scheme-less,
+    # non-rooted references whose first segment has a ':' are rejected
+    defrag = F.substring_index(s, "#", 1)
+    first_seg = F.substring_index(defrag, "/", 1)
+    seg_colon_bad = (~s.rlike(_SCHEME) & ~s.startswith("/")
+                     & first_seg.contains(":"))
+    base_ok = (~s.rlike(_CTRL) & ~s.rlike(_BAD_ESC) & ~s.rlike("^:")
+               & ~seg_colon_bad)
+    has_auth = s.rlike("^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//")
+    auth = _authority_of(s)
+    has_at = auth.contains("@")
+    userinfo = F.substring(auth, F.lit(1),
+                           F.length(auth) - F.length(F.substring_index(auth, "@", -1)) - 1)
+    hp = F.substring_index(auth, "@", -1)
+    auth_ok = (~has_at | userinfo.rlike(_USERINFO_RX)) & _host_port_ok(hp)
+    return base_ok & (~has_auth | auth_ok)
+
+
+def _uri_ok(s: Column) -> Column:
+    return _go_url_ok(s) & s.rlike(_SCHEME) & ~s.contains("\\")
+
+
+def _uri_reference_ok(s: Column) -> Column:
+    return _go_url_ok(s) & ~s.contains("\\")
+
+
 _SQL_PREDS = {
     "date": _date_ok,
     "time": _time_ok,
@@ -91,12 +149,15 @@ _SQL_PREDS = {
     "json-pointer": lambda s: s.rlike(_JSON_PTR_RX),
     "relative-json-pointer": lambda s: s.rlike(_REL_JSON_PTR_RX),
     "ipv4": lambda s: s.rlike(_IPV4_RX),
+    "uri": _uri_ok,
+    "iri": _uri_ok,
+    "uri-reference": _uri_reference_ok,
+    "iri-reference": _uri_reference_ok,
 }
 
 # parser-backed formats: exact checker via one Arrow-batched pandas UDF
 _UDF_FORMATS = {
-    "email", "idn-email", "ipv6", "uri", "uri-reference", "iri",
-    "iri-reference", "uri-template", "regex",
+    "email", "idn-email", "ipv6", "uri-template", "regex",
 }
 
 

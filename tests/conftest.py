@@ -19,6 +19,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.extraJavaOptions", "-Xms8g -XX:+UseParallelGC")
         .getOrCreate()
     )
     session.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,130 @@
+"""Unit tests for dataset-level + pipeline operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from gojsonschema_spark.ops import dataset_checks as dc
+from gojsonschema_spark.ops import dedup as dd
+from gojsonschema_spark.ops import multimodal as mm
+from gojsonschema_spark.ops import similarity as sim
+from gojsonschema_spark.ops import text as tx
+from gojsonschema_spark.ops.webpages import generate_webpages
+
+pytestmark = pytest.mark.spark
+
+
+def test_dataset_checks(spark):
+    df = spark.createDataFrame(
+        [(i, f"u{i % 8}", i % 3) for i in range(100)], ["id", "key", "cat"])
+    stats = dc.column_stats(df, "id").collect()[0]
+    assert stats.n == 100 and stats.min_v == 0 and stats.max_v == 99
+    assert stats.avg_v == 49.5
+
+    dup = dc.duplicate_keys(df, "key").collect()
+    assert len(dup) == 8 and all(r.n_dups >= 12 for r in dup)
+
+    uniq = dc.uniqueness_ratio(df, "key", approximate=False).collect()[0]
+    assert (uniq.n_rows, uniq.n_distinct) == (100, 8)
+
+    dim = spark.createDataFrame([(0,), (1,)], ["k"])
+    orphans = dc.referential_orphans(df, "cat", dim, "k")
+    assert orphans.count() == sum(1 for i in range(100) if i % 3 == 2)
+
+    # identical distributions -> KL == 0
+    kl = dc.categorical_drift_kl(df, df, "cat").collect()[0]
+    assert kl.kl_divergence == 0.0
+    # shifted distribution -> KL > 0
+    df2 = spark.createDataFrame([(i, "x", 0) for i in range(100)],
+                                ["id", "key", "cat"])
+    kl2 = dc.categorical_drift_kl(df2, df, "cat").collect()[0]
+    assert kl2.kl_divergence > 0
+
+
+def test_dedup_exact_and_minhash(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " extra"
+    far = "completely different words occupy this document body here"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"])
+
+    exact = dd.exact_duplicates(df).collect()
+    assert len(exact) == 1 and exact[0].members == [1, 2]
+
+    pairs = {(r.key_a, r.key_b)
+             for r in dd.minhash_lsh_pairs(df, num_hashes=32, bands=16).collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+    verified = dd.ngram_jaccard_pairs(
+        df, spark.createDataFrame(list(pairs), ["key_a", "key_b"]),
+        threshold=0.5).collect()
+    assert {(r.key_a, r.key_b) for r in verified} >= {(1, 2)}
+    for r in verified:
+        if (r.key_a, r.key_b) == (1, 2):
+            assert r.jaccard == 1.0
+
+
+def test_simhash_similarity(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "one two three four five six seven eight")], ["doc_id", "text"])
+    rows = df.select("doc_id", dd.simhash(F.col("text"), bits=32).alias("sh")).collect()
+    sh = {r.doc_id: r.sh for r in rows}
+    ham12 = bin((sh[1] ^ sh[2]) & 0xFFFFFFFF).count("1")
+    ham13 = bin((sh[1] ^ sh[3]) & 0xFFFFFFFF).count("1")
+    assert ham12 < ham13  # near-dup pair closer than unrelated pair
+
+
+def test_text_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog!"), (2, "der hund und die katze und der")],
+        ["doc_id", "text"])
+    out = tx.quality_score(df).collect()
+    r1 = [r for r in out if r.doc_id == 1][0]
+    assert r1.n_tokens == 5
+    assert r1.stop_ratio == 0.6  # the, and, the -> 3 of 5 tokens
+    langs = df.select("doc_id", tx.language_id(F.col("text")).alias("lang")).collect()
+    lmap = {r.doc_id: r.lang for r in langs}
+    assert lmap[2] == "de"
+    fp = df.select(tx.fingerprint(F.col("text")).alias("fp")).collect()
+    assert all(len(r.fp) == 32 for r in fp)
+
+
+def test_similarity_topk(spark):
+    rows = [Row(vec_id=i, embedding=[float(i == j) for j in range(4)])
+            for i in range(4)]
+    df = spark.createDataFrame(rows)
+    top = sim.brute_force_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0].vec_id == 0 and top[0].cosine == 1.0
+    # LSH bucket variant returns the exact hit too
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    btop = sim.lsh_bucketed_topk(df, [1.0, 0.0, 0.0, 0.0], planes, k=1).collect()
+    assert btop[0].vec_id == 0
+
+
+def test_multimodal_features(spark):
+    df = spark.createDataFrame(
+        [("a", bytearray(b"payload-1")), ("b", bytearray(b"payload-2"))],
+        ["key", "payload"])
+    out = mm.extract_features(df).collect()
+    assert len(out) == 2
+    by_key = {r.key: r for r in out}
+    assert len(by_key["a"].feature) == 8
+    assert by_key["a"].n_bytes == 9
+    # determinism
+    out2 = mm.extract_features(df).collect()
+    assert {r.key: list(r.feature) for r in out} == \
+           {r.key: list(r.feature) for r in out2}
+
+
+def test_webpages_generator_deterministic(spark):
+    a = generate_webpages(spark, 200, partitions=4).orderBy("url").collect()
+    b = generate_webpages(spark, 200, partitions=2).orderBy("url").collect()
+    assert [r.url for r in a] == [r.url for r in b]
+    # per-row invariant: byte-identical text per url regardless of layout
+    assert [r.text for r in a] == [r.text for r in b]
+    assert any(r.url.startswith("::not a uri") for r in a)  # malformed share
+    assert len({r.url for r in a}) < 200  # duplicate share
