@@ -42,14 +42,17 @@ def generate_webpages(spark: SparkSession, n_rows: int,
     h2 = F.abs(F.xxhash64(rid, F.lit(2)))
     h3 = F.abs(F.xxhash64(rid, F.lit(3)))
 
+    # duplicate urls: DUP_PCT% of rows take the FULL url of (id - id%37),
+    # so every url-derived column (host, path, text) duplicates with it
+    base_id = F.when((h2 % 100) < DUP_PCT, rid - (rid % 37)).otherwise(rid)
+
     # Zipf-ish skewed host rank: u in [0,1) -> floor(H^u) - 1 concentrates
     # mass on low ranks (host0 dominates) — deliberately skewed for salting
-    u = (h1 % 1_000_000) / 1_000_000.0
+    bh1 = F.abs(F.xxhash64(base_id, F.lit(1)))
+    u = (bh1 % 1_000_000) / 1_000_000.0
     host_rank = F.floor(F.pow(F.lit(float(N_HOSTS)), u)) - 1
     host = F.concat(F.lit("host"), host_rank.cast("string"), F.lit(".example.com"))
 
-    # duplicate urls: DUP_PCT% of rows reuse the path of (id - id%37)
-    base_id = F.when((h2 % 100) < DUP_PCT, rid - (rid % 37)).otherwise(rid)
     path = F.concat(F.lit("/page/"), F.abs(F.xxhash64(base_id, F.lit(4))).cast("string"))
     good_url = F.concat(F.lit("https://"), host, path)
     bad_url = F.concat(F.lit("::not a uri "), rid.cast("string"))
@@ -65,7 +68,9 @@ def generate_webpages(spark: SparkSession, n_rows: int,
         lambda i: F.element_at(words_lit,
                                (F.abs(F.xxhash64(uh.cast("string"), i)) %
                                 len(_WORDS) + 1).cast("int")))
-    text = F.when((h1 % 100) < EMPTY_TEXT_PCT, F.lit("")) \
+    # empty-text decision keyed on the url hash so text stays a pure
+    # function of url (per-row invariant: byte-identical text per url)
+    text = F.when((uh % 100) < EMPTY_TEXT_PCT, F.lit("")) \
             .otherwise(F.concat_ws(" ", text_tokens))
 
     lang = F.element_at(
