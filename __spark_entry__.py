@@ -257,6 +257,66 @@ def q_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# analytics over the TPC-H-ish tables (aggregation / join / window / rollup
+# breadth of the engine-adjacent dataset operators)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary; money summed as DECIMAL so the
+    result is exact and order-independent (hash-stable vs the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (li.filter(F.col("l_shipdate") < F.lit("1998-09-01"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(dec("l_quantity")).alias("sum_qty"),
+                   F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+                   F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                         .cast("decimal(28,8)")).alias("sum_disc_price"),
+                   F.count(F.lit(1)).alias("count_order"))
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_join_top_orders(spark, sf_dir):
+    """Revenue top-10 orders for a market segment (TPC-H Q3 shape):
+    broadcast the small dimension, shuffle-join the facts."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+             .groupBy("l_orderkey")
+             .agg(F.sum((dec("l_extendedprice") *
+                         (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                        .cast("decimal(28,8)")).alias("revenue")))
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+
+
+def q_window_user_gaps(spark, sf_dir):
+    """Per-user mean inter-event gap in seconds (window/lag operator)."""
+    from pyspark.sql import Window as W
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds (matches DuckDB epoch()); TIMESTAMP_NTZ
+    # needs an explicit timestamp hop before the numeric cast
+    def epochs(c):
+        return c.cast("timestamp").cast("double")
+    gap = epochs(F.col("ts")) - epochs(F.lag("ts").over(w))
+    return (e.select("user_id", gap.alias("gap"))
+             .groupBy("user_id")
+             .agg(F.round(F.avg("gap"), 6).alias("avg_gap_sec"),
+                  F.count("gap").alias("n_gaps")))
+
+
+def q_rollup_hourly_events(spark, sf_dir):
+    """Time-bucketed rollup (streaming-style aggregation in batch)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -292,6 +352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_top_orders": q_join_top_orders,
+        "window_user_gaps": q_window_user_gaps,
+        "rollup_hourly_events": q_rollup_hourly_events,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
     }
@@ -407,6 +471,45 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                       AS DECIMAL(28,8))) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate < '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_top_orders": """
+            SELECT l_orderkey,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                       AS DECIMAL(28,8))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "window_user_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch(ts) - epoch(lag(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                FROM events)
+            SELECT user_id, round(avg(gap), 6) AS avg_gap_sec,
+                   count(gap) AS n_gaps
+            FROM g GROUP BY user_id
+        """,
+        "rollup_hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         # minhash_lsh_pairs, simhash: not SQL-expressible -> rows-only check
     }
