@@ -1,0 +1,92 @@
+"""Physical-plan quality gates: pushdown, pruning, codegen, no stray Python.
+
+These assert the *shape* of the plans, not timings — the properties that
+must hold for the 100 TB regime (SURVEY.md §4):
+column pruning reaches the parquet scan, filters push down, the flagship
+predicate stays inside whole-stage codegen with no Python nodes, and the
+dimension side of referential checks broadcasts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gojsonschema_spark.ops import dataset_checks as dc
+from gojsonschema_spark.ops.webpages import generate_webpages, webpage_doc_column
+from gojsonschema_spark.spark.engine import SparkValidator
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    generate_webpages(spark, 1000, partitions=4).write.parquet(path)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_column_pruning_reaches_scan(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    docs = pages.select(webpage_doc_column().alias("doc"))
+    v = SparkValidator({"type": "object", "required": ["url"],
+                        "properties": {"lang": {"pattern": "^[a-z]{2}$"}}})
+    plan = _plan(v.validate_json(docs, "doc", violations_col=None)
+                 .agg(F.sum(F.col("valid").cast("int"))))
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    # html (binary payload) must NOT be read for a text/url validation
+    assert "html" not in scan
+    assert "url" in scan and "lang" in scan
+
+
+def test_filter_pushdown(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    q = pages.filter(F.col("lang") == "en").select("url")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_flagship_plan_has_no_python_and_is_codegen(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    docs = pages.select(webpage_doc_column().alias("doc"))
+    v = SparkValidator({
+        "type": "object", "required": ["url", "lang"],
+        "properties": {"url": {"type": "string", "format": "uri"},
+                       "lang": {"type": "string", "pattern": "^[a-z]{2}$"},
+                       "warc_ts": {"type": "string", "format": "date-time"}}})
+    assert v.uses_column_plan
+    q = (v.validate_json(docs, "doc", violations_col=None)
+         .agg(F.sum(F.col("valid").cast("int"))))
+    q.collect()  # finalize AQE so codegen markers appear in the plan
+    plan = _plan(q)
+    # format:uri / date-time are SQL now — no Arrow/Python eval anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    import re
+    assert re.search(r"\*\(\d+\) ", plan), "no WholeStageCodegen stages"
+
+
+def test_referential_dim_broadcasts(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    dim = spark.createDataFrame([(f"host{i}.example.com",) for i in range(5)],
+                                ["host"])
+    fact = pages.select(F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"))
+    orphans = dc.referential_orphans(fact, "host", dim, "host")
+    assert "BroadcastHashJoin" in _plan(orphans) or "BroadcastNestedLoopJoin" in _plan(orphans)
+
+
+def test_two_pass_violations_python_sees_valid_attribute(spark, pages_path):
+    """Pass 2 must receive the materialized valid bit, not re-evaluate the
+    predicate inside the (non-codegen) Python input projection."""
+    pages = spark.read.parquet(pages_path)
+    docs = pages.select(webpage_doc_column().alias("doc"))
+    v = SparkValidator({"type": "object", "required": ["url"]})
+    plan = _plan(v.validate_json(docs, "doc"))
+    arrow_lines = [l for l in plan.splitlines() if "ArrowEvalPython" in l]
+    assert arrow_lines, "violations UDF expected"
+    # the UDF argument list must reference the barrier attribute, not a
+    # re-inlined parse_json(...) of the whole predicate
+    assert "parseJson" not in arrow_lines[0]
