@@ -370,8 +370,9 @@ def _chk_regex(s: str) -> bool:
     if s == "":
         return True
     # RE2 compile check; Python `re` accepts a superset (backrefs,
-    # lookaround) — reject the constructs RE2 refuses.
-    if re.search(r"\(\?<?[=!]", s) or re.search(r"\\[1-9]", s):
+    # lookaround, \Z) — reject the constructs RE2 refuses.
+    if re.search(r"\(\?<?[=!]", s) or re.search(r"(?<!\\)\\[1-9]", s) \
+            or re.search(r"(?<!\\)\\Z", s):
         return False
     try:
         re.compile(s)

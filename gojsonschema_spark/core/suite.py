@@ -30,7 +30,8 @@ REMOTE_BASE = "http://localhost:1234/"
 
 # optional files outside the reference's own gate that our engine also
 # passes thanks to exact rational arithmetic
-EXTRA_FILES = ("optional/bignum.json", "optional/zeroTerminatedFloats.json")
+EXTRA_FILES = ("optional/bignum.json", "optional/zeroTerminatedFloats.json",
+               "optional/ecmascript-regex.json", "optional/content.json")
 
 
 @dataclass

@@ -76,8 +76,11 @@ class SparkValidator:
             if violations_col:
                 df = _barrier(df, "__gjs_valid", F.col(valid_col))
                 elaborate = make_violations_udf(self.compiled)
+                # mask the payload for valid rows: Arrow then ships nulls
+                # instead of document bodies for the (majority) happy path
+                masked = F.when(~F.col("__gjs_valid"), doc)
                 df = df.withColumn(violations_col,
-                                   elaborate(doc, F.col("__gjs_valid")))
+                                   elaborate(masked, F.col("__gjs_valid")))
                 df = df.drop("__gjs_valid")
             return df.drop("__gjs_v")
         verdict = make_verdict_udf(self.compiled,

@@ -21,6 +21,21 @@ KNOWN_REFERENCE_DIVERGENCES = {
     ("draft4", "optional/zeroTerminatedFloats.json",
      "some languages do not distinguish between different types of numeric value",
      "a float is not an integer even without fractional part"): True,
+    # gojsonschema does not implement contentMediaType/contentEncoding:
+    # unknown keywords are ignored, so every instance passes (no handler
+    # anywhere in schema.go/validation.go)
+    ("draft7", "optional/content.json",
+     "validation of string-encoded content based on media type",
+     "an invalid JSON document"): True,
+    ("draft7", "optional/content.json",
+     "validation of binary string-encoding",
+     "an invalid base64 string (% is not a valid character)"): True,
+    ("draft7", "optional/content.json",
+     "validation of binary-encoded media type documents",
+     "a validly-encoded invalid JSON document"): True,
+    ("draft7", "optional/content.json",
+     "validation of binary-encoded media type documents",
+     "an invalid base64 string that is valid JSON"): True,
 }
 
 
