@@ -34,6 +34,37 @@ EXTRA_FILES = ("optional/bignum.json", "optional/zeroTerminatedFloats.json",
                "optional/ecmascript-regex.json", "optional/content.json")
 
 
+# Cases where the official fixture disagrees with gojsonschema's semantics;
+# these files are NOT in the reference's own gate (its walker skips
+# optional/) — we pin REFERENCE behavior, not fixture text.
+KNOWN_REFERENCE_DIVERGENCES = {
+    # big.Rat.IsInt: 1.0 IS an integer (validation.go:121, utils.go:117-125)
+    ("draft4", "optional/zeroTerminatedFloats.json",
+     "some languages do not distinguish between different types of numeric value",
+     "a float is not an integer even without fractional part"): True,
+    # contentMediaType/contentEncoding are not implemented by the
+    # reference: unknown keywords are ignored, every instance passes
+    ("draft7", "optional/content.json",
+     "validation of string-encoded content based on media type",
+     "an invalid JSON document"): True,
+    ("draft7", "optional/content.json",
+     "validation of binary string-encoding",
+     "an invalid base64 string (% is not a valid character)"): True,
+    ("draft7", "optional/content.json",
+     "validation of binary-encoded media type documents",
+     "a validly-encoded invalid JSON document"): True,
+    ("draft7", "optional/content.json",
+     "validation of binary-encoded media type documents",
+     "an invalid base64 string that is valid JSON"): True,
+}
+
+
+def reference_expected(draft: str, rel: str, case) -> bool:
+    """Fixture verdict corrected to the reference's actual behavior."""
+    return KNOWN_REFERENCE_DIVERGENCES.get(
+        (draft, rel, case.group, case.case), case.expected_valid)
+
+
 @dataclass
 class SuiteCase:
     draft: str

@@ -35,14 +35,10 @@ def _column_plan_corpus():
         if not v.uses_column_plan:
             continue
         n_column += 1
+        from gojsonschema_spark.core.suite import reference_expected
         rows = []
         for c in cases:
-            # pin reference semantics for the one known fixture divergence
-            exp = c.expected_valid
-            if (draft, rel, c.case) == (
-                "draft4", "optional/zeroTerminatedFloats.json",
-                "a float is not an integer even without fractional part"):
-                exp = True
+            exp = reference_expected(draft, rel, c)
             rows.append((dump_lexical(c.data), exp, f"{draft}/{rel}/{c.group}/{c.case}"))
         corpus.append((v, rows))
     assert n_column >= 0.5 * n_total, (

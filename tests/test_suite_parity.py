@@ -11,32 +11,9 @@ from __future__ import annotations
 
 import pytest
 
-from gojsonschema_spark.core.suite import load_cases, run_case_group
+from gojsonschema_spark.core.suite import (load_cases, reference_expected,
+                                           run_case_group)
 
-# Cases where the official fixture disagrees with gojsonschema's semantics.
-# These fixtures are NOT part of the reference's own test gate (its suite
-# walker SkipDirs optional/); we pin REFERENCE behavior, not fixture text.
-KNOWN_REFERENCE_DIVERGENCES = {
-    # big.Rat.IsInt: 1.0 IS an integer (validation.go:121, utils.go:117-125)
-    ("draft4", "optional/zeroTerminatedFloats.json",
-     "some languages do not distinguish between different types of numeric value",
-     "a float is not an integer even without fractional part"): True,
-    # gojsonschema does not implement contentMediaType/contentEncoding:
-    # unknown keywords are ignored, so every instance passes (no handler
-    # anywhere in schema.go/validation.go)
-    ("draft7", "optional/content.json",
-     "validation of string-encoded content based on media type",
-     "an invalid JSON document"): True,
-    ("draft7", "optional/content.json",
-     "validation of binary string-encoding",
-     "an invalid base64 string (% is not a valid character)"): True,
-    ("draft7", "optional/content.json",
-     "validation of binary-encoded media type documents",
-     "a validly-encoded invalid JSON document"): True,
-    ("draft7", "optional/content.json",
-     "validation of binary-encoded media type documents",
-     "an invalid base64 string that is valid JSON"): True,
-}
 
 
 def _groups():
@@ -52,8 +29,7 @@ def test_suite_group(draft, rel, schema, cases):
     results = run_case_group(draft, schema, cases)
     mismatches = []
     for case, got in results:
-        expected = KNOWN_REFERENCE_DIVERGENCES.get(
-            (draft, rel, case.group, case.case), case.expected_valid)
+        expected = reference_expected(draft, rel, case)
         if got != expected:
             mismatches.append(f"{case.case}: expected {expected}, got {got}")
     assert not mismatches, f"{draft}/{rel} [{cases[0].group}]:\n" + "\n".join(mismatches)
