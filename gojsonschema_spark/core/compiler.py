@@ -59,8 +59,17 @@ METASCHEMA_URLS = {
 
 
 def _load_metaschema(fname: str):
-    with open(os.path.join(_META_DIR, fname)) as f:
-        return parse_json(f.read())
+    # importlib.resources is zip-safe: required when the package ships via
+    # spark-submit --py-files (zipimport has no real filesystem paths)
+    try:
+        from importlib.resources import files
+
+        text = files("gojsonschema_spark").joinpath(
+            f"metaschemas/{fname}").read_text()
+    except Exception:
+        with open(os.path.join(_META_DIR, fname)) as f:
+            text = f.read()
+    return parse_json(text)
 
 
 def parse_schema_url(document) -> tuple[str, int | None]:
