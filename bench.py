@@ -98,13 +98,15 @@ def bench_queries(spark) -> dict[str, float]:
 
     run("validate_pages_sql", lambda: v.validate_json(docs, "doc", violations_col=None)
         .agg(F.count(F.lit(1)), F.sum(F.col("valid").cast("int"))).collect())
-    run("validate_pages_violations_50k", lambda: v.validate_json(docs.limit(50000), "doc")
+    # NB: .limit() would collapse to one partition — full corpus instead
+    run("validate_pages_violations", lambda: v.validate_json(docs, "doc")
         .filter(~F.col("valid")).select(F.explode("violations").alias("x"))
-        .groupBy("x.keyword").count().collect(), reps=1)
+        .groupBy("x.keyword").count().collect())
     udf_v = SparkValidator(FLAGSHIP_SCHEMA, force_udf=True)
-    run("validate_pages_udf_20k", lambda: udf_v.validate_json(
-        docs.limit(20000), "doc", violations_col=None)
-        .agg(F.sum(F.col("valid").cast("int"))).collect(), reps=1)
+    udf_subset = docs.filter(F.xxhash64("doc") % 10 == 0)  # ~10%, stays parallel
+    run("validate_pages_udf_10pct", lambda: udf_v.validate_json(
+        udf_subset, "doc", violations_col=None)
+        .agg(F.sum(F.col("valid").cast("int"))).collect())
     run("uniqueness_url", lambda: dc.uniqueness_ratio(pages, "url").collect())
     run("dup_urls_exact", lambda: dc.duplicate_keys(pages, "url")
         .agg(F.count(F.lit(1)), F.sum("n_dups")).collect())
