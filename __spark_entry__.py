@@ -175,6 +175,129 @@ q_kw_format_date = _kw_query(
          .otherwise(F.lit("2020-06-15")).alias("d"))))
 
 
+q_kw_const = _kw_query(
+    {"properties": {"l": {"const": "en"}}, "required": ["l"]},
+    lambda: F.to_json(F.struct(F.col("lang").alias("l"))))
+
+q_kw_allof = _kw_query(
+    {"allOf": [
+        {"type": "object", "properties": {"n": {"minimum": 100}}, "required": ["n"]},
+        {"type": "object", "properties": {"n": {"multipleOf": 2}}}]},
+    lambda: F.to_json(F.struct(F.col("n_chars").alias("n"))))
+
+q_kw_not = _kw_query(
+    {"not": {"properties": {"l": {"const": "en"}}, "required": ["l"]}},
+    lambda: F.to_json(F.struct(F.col("lang").alias("l"))))
+
+q_kw_ref = _kw_query(
+    # acyclic $ref: inlined into the pure-SQL column plan
+    {"definitions": {"posbig": {"type": "integer", "minimum": 100}},
+     "properties": {"n": {"$ref": "#/definitions/posbig"}}},
+    lambda: F.to_json(F.struct(F.col("n_chars").alias("n"))))
+
+q_kw_ref_cyclic = _kw_query(
+    # self-recursive linked-list schema: exercises the cyclic-$ref path
+    {"definitions": {"node": {
+        "type": "object", "required": ["v"],
+        "properties": {"v": {"type": "integer"},
+                       "next": {"$ref": "#/definitions/node"}}}},
+     "$ref": "#/definitions/node"},
+    lambda: F.concat(
+        F.lit('{"v": 1, "next": {"v": '),
+        F.when(F.col("doc_id") % 3 == 0, F.lit('"x"')).otherwise(F.lit("2")),
+        F.lit("}}")))
+
+q_kw_pattern_properties = _kw_query(
+    {"patternProperties": {"^s": {"type": "string"}}},
+    lambda: F.concat(
+        F.lit('{"s1": '),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("1")).otherwise(F.lit('"a"')),
+        F.lit(', "other": 0}')))
+
+q_kw_additional_properties = _kw_query(
+    {"properties": {"a": {}}, "additionalProperties": False},
+    lambda: F.concat(
+        F.lit('{"a": 1'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(', "b": 2')).otherwise(F.lit("")),
+        F.lit("}")))
+
+q_kw_property_names = _kw_query(
+    {"$schema": "http://json-schema.org/draft-07/schema#",
+     "propertyNames": {"maxLength": 3}},
+    lambda: F.concat(
+        F.lit('{"ab": 1'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(', "abcd": 2')).otherwise(F.lit("")),
+        F.lit("}")))
+
+q_kw_contains = _kw_query(
+    {"$schema": "http://json-schema.org/draft-06/schema#",
+     "properties": {"a": {"contains": {"minimum": 300}}}, "required": ["a"]},
+    lambda: F.concat(F.lit('{"a": [1, '), F.col("n_chars"), F.lit("]}")))
+
+q_kw_min_max_items = _kw_query(
+    {"properties": {"a": {"minItems": 2, "maxItems": 3}}, "required": ["a"]},
+    lambda: F.concat(
+        F.lit('{"a": ['),
+        F.concat_ws(", ", F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 4) + 1),
+            lambda i: i.cast("string"))),
+        F.lit("]}")))
+
+q_kw_min_max_properties = _kw_query(
+    {"minProperties": 2, "maxProperties": 3},
+    lambda: F.concat(
+        F.lit('{"k1": 1'),
+        F.when(F.col("doc_id") % 4 >= 1, F.lit(', "k2": 2')).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 >= 2, F.lit(', "k3": 3')).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 >= 3, F.lit(', "k4": 4')).otherwise(F.lit("")),
+        F.lit("}")))
+
+q_kw_additional_items = _kw_query(
+    {"properties": {"a": {"items": [{"type": "integer"}],
+                          "additionalItems": {"type": "string"}}},
+     "required": ["a"]},
+    lambda: F.concat(
+        F.lit('{"a": [1, '),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("2")).otherwise(F.lit('"x"')),
+        F.lit("]}")))
+
+
+def _fmt_query(fmt: str, good: str, bad: str):
+    """format keyword micro-query: doc_id%4==0 rows carry the bad literal."""
+    return _kw_query(
+        {"properties": {"x": {"format": fmt}}, "required": ["x"]},
+        lambda: F.to_json(F.struct(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(bad))
+             .otherwise(F.lit(good)).alias("x"))))
+
+
+# good/bad verdicts verified against core.formats (Go parser emulation)
+_FMT_CASES = {
+    "email": ("joe@example.com", "joe@@example.com"),
+    "idn-email": ("joe@example.org", "no-at-sign"),
+    "ipv6": ("::1", "12345::"),
+    "ipv4": ("192.168.0.1", "256.1.1.1"),
+    "uri": ("https://example.com/path?q=1", "relative/path"),
+    "uri-reference": ("/relative/path", "http://exa mple.com"),
+    "iri": ("https://example.com/umlaut", "no-scheme-here"),
+    "iri-reference": ("/path/ok", "http://exa mple.com"),
+    "uri-template": ("http://example.com/dictionary/{term:1}/{term}",
+                     "http://example.com/dictionary/{term:1}/{term"),
+    "uuid": ("2eb8aa08-aa98-11ea-b4aa-73b441d16380",
+             "2eb8aa08-aa98-11ea-b4aa-73b441d1638"),
+    "regex": ("^a+$", "a(b"),
+    "time": ("08:30:06Z", "08:30:61Z"),
+    "date-time": ("2018-11-13T20:20:39+00:00", "2018-11-13T99:20:39Z"),
+    "json-pointer": ("/foo/0", "/foo/~2"),
+    "relative-json-pointer": ("1/foo", "/foo"),
+}
+
+_FMT_QUERIES = {
+    f"kw_format_{name.replace('-', '_')}": _fmt_query(name, good, bad)
+    for name, (good, bad) in _FMT_CASES.items()
+}
+
+
 # ---------------------------------------------------------------------------
 # dataset-level checks (SURVEY.md §2.7 / north_star)
 # ---------------------------------------------------------------------------
@@ -262,17 +385,24 @@ def q_simhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_agg_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-style pricing summary; money summed as DECIMAL so the
-    result is exact and order-independent (hash-stable vs the oracle)."""
+    """TPC-H Q1-style pricing summary; money summed as DECIMAL (exact,
+    order-independent), then rendered as round(double, 2) so the driver's
+    value hash is stable across Spark/DuckDB decimal string forms."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rnd = lambda c, n: F.round(c.cast("double"), 2).alias(n)
     return (li.filter(F.col("l_shipdate") < F.lit("1998-09-01"))
               .groupBy("l_returnflag", "l_linestatus")
-              .agg(F.sum(dec("l_quantity")).alias("sum_qty"),
-                   F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+              .agg(F.sum(dec("l_quantity")).alias("_q"),
+                   F.sum(dec("l_extendedprice")).alias("_bp"),
                    F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-                         .cast("decimal(28,8)")).alias("sum_disc_price"),
+                         .cast("decimal(28,8)")).alias("_dp"),
                    F.count(F.lit(1)).alias("count_order"))
+              .select("l_returnflag", "l_linestatus",
+                      rnd(F.col("_q"), "sum_qty"),
+                      rnd(F.col("_bp"), "sum_base_price"),
+                      rnd(F.col("_dp"), "sum_disc_price"),
+                      "count_order")
               .orderBy("l_returnflag", "l_linestatus"))
 
 
@@ -288,8 +418,10 @@ def q_join_top_orders(spark, sf_dir):
              .groupBy("l_orderkey")
              .agg(F.sum((dec("l_extendedprice") *
                          (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-                        .cast("decimal(28,8)")).alias("revenue")))
-    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+                        .cast("decimal(28,8)")).alias("_rev")))
+    return (rev.orderBy(F.col("_rev").desc(), F.col("l_orderkey")).limit(10)
+               .select("l_orderkey",
+                       F.round(F.col("_rev").cast("double"), 2).alias("revenue")))
 
 
 def q_window_user_gaps(spark, sf_dir):
@@ -326,7 +458,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out = {
+        "kw_const": q_kw_const,
+        "kw_allof": q_kw_allof,
+        "kw_not": q_kw_not,
+        "kw_ref": q_kw_ref,
+        "kw_ref_cyclic": q_kw_ref_cyclic,
+        "kw_pattern_properties": q_kw_pattern_properties,
+        "kw_additional_properties": q_kw_additional_properties,
+        "kw_property_names": q_kw_property_names,
+        "kw_contains": q_kw_contains,
+        "kw_min_max_items": q_kw_min_max_items,
+        "kw_min_max_properties": q_kw_min_max_properties,
+        "kw_additional_items": q_kw_additional_items,
+    }
+    out.update(_FMT_QUERIES)
+    out.update({
         "validate_flagship": q_validate_flagship,
         "violations_by_keyword": q_violations_by_keyword,
         "validate_events_props": q_validate_events_props,
@@ -358,13 +505,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly_events": q_rollup_hourly_events,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
-    }
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     flagship_valid = ("(doc_id % 7 <> 0 AND doc_id % 11 <> 0 "
                       "AND doc_id % 13 <> 0)")
-    return {
+    out = {
+        # each _fmt_query invalidates exactly the doc_id%4==0 rows
+        f"kw_format_{name.replace('-', '_')}":
+            "SELECT doc_id, doc_id % 4 <> 0 AS valid FROM documents"
+        for name in _FMT_CASES
+    }
+    out.update({
+        "kw_const": "SELECT doc_id, lang = 'en' AS valid FROM documents",
+        "kw_allof": ("SELECT doc_id, n_chars >= 100 AND n_chars % 2 = 0 AS valid "
+                     "FROM documents"),
+        "kw_not": "SELECT doc_id, lang <> 'en' AS valid FROM documents",
+        "kw_ref": "SELECT doc_id, n_chars >= 100 AS valid FROM documents",
+        "kw_ref_cyclic": "SELECT doc_id, doc_id % 3 <> 0 AS valid FROM documents",
+        "kw_pattern_properties": ("SELECT doc_id, doc_id % 2 <> 0 AS valid "
+                                  "FROM documents"),
+        "kw_additional_properties": ("SELECT doc_id, doc_id % 2 <> 0 AS valid "
+                                     "FROM documents"),
+        "kw_property_names": ("SELECT doc_id, doc_id % 2 <> 0 AS valid "
+                              "FROM documents"),
+        "kw_contains": ("SELECT doc_id, n_chars >= 300 AS valid FROM documents"),
+        "kw_min_max_items": ("SELECT doc_id, (doc_id % 4) + 1 BETWEEN 2 AND 3 "
+                             "AS valid FROM documents"),
+        "kw_min_max_properties": ("SELECT doc_id, (doc_id % 4) + 1 BETWEEN 2 AND 3 "
+                                  "AS valid FROM documents"),
+        "kw_additional_items": ("SELECT doc_id, doc_id % 2 <> 0 AS valid "
+                                "FROM documents"),
+    })
+    out.update({
         "validate_flagship":
             f"SELECT doc_id, {flagship_valid} AS valid FROM documents",
         "violations_by_keyword": """
@@ -474,27 +649,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                       AS DECIMAL(28,8))) AS sum_disc_price,
+                       AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate < '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
         """,
         "join_top_orders": """
-            SELECT l_orderkey,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                       AS DECIMAL(28,8))) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY l_orderkey
-            ORDER BY revenue DESC, l_orderkey
-            LIMIT 10
+            WITH rev AS (
+                SELECT l_orderkey,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                           AS DECIMAL(28,8))) AS r
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY l_orderkey
+                ORDER BY r DESC, l_orderkey
+                LIMIT 10)
+            SELECT l_orderkey, round(CAST(r AS DOUBLE), 2) AS revenue FROM rev
         """,
         "window_user_gaps": """
             WITH g AS (
@@ -512,4 +689,5 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         # minhash_lsh_pairs, simhash: not SQL-expressible -> rows-only check
-    }
+    })
+    return out
