@@ -15,8 +15,9 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from fractions import Fraction
 
-from .jsonvalue import Num, canonical_json
+from .jsonvalue import Num, canonical_json, go_float_str
 
 __all__ = ["ROOT_CONTEXT", "Violation", "Result", "SchemaCompileError", "render_value"]
 
@@ -83,6 +84,17 @@ def field_of(context: tuple) -> str:
     return s[len(prefix):] if s.startswith(prefix) else s
 
 
+def _render_detail(v) -> str:
+    """Numeric bound details are stored exact (Fraction); the reference
+    locale prints them as Go numbers (locales.go NumberGTE et al. receive
+    float64/int), so 3/2 must render as 1.5, never as a rational."""
+    if isinstance(v, Fraction):
+        if v.denominator == 1:
+            return str(v.numerator)
+        return go_float_str(float(v))
+    return str(v)
+
+
 def render_value(value) -> str:
     if value is None:
         return "null"
@@ -107,7 +119,9 @@ class Violation:
         details.setdefault("field", self.field_path)
         details.setdefault("context", context_string(self.context))
         template = MESSAGES.get(self.error_type, self.error_type)
-        return _FIELD_RX.sub(lambda m: str(details.get(m.group(1), "<no value>")), template)
+        return _FIELD_RX.sub(
+            lambda m: _render_detail(details.get(m.group(1), "<no value>")),
+            template)
 
     def __str__(self) -> str:
         return f"{self.field_path}: {self.description()}"

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["compile_re2", "translate_re2"]
+__all__ = ["compile_re2", "translate_re2", "translate_re2_java",
+           "JavaRegexDivergence"]
 
 _UNICODE_CLASSES = {
     "L": r"a-zA-ZªµºÀ-ʯͰ-῿Ⰰ-퟿",
@@ -30,13 +31,59 @@ _UNICODE_CLASSES = {
     "Nd": r"0-9٠-٩۰-۹०-९",
 }
 
+# RE2 POSIX classes (ASCII definitions, RE2 syntax.txt); Python re treats
+# [[:alpha:]] as literal chars, so expand them during translation
+_POSIX_CLASSES = {
+    "alnum": r"0-9A-Za-z", "alpha": r"A-Za-z", "ascii": r"\x00-\x7f",
+    "blank": r" \t", "cntrl": r"\x00-\x1f\x7f", "digit": r"0-9",
+    "graph": r"\x21-\x7e", "lower": r"a-z", "print": r"\x20-\x7e",
+    "punct": r"!-/:-@\[-`{-~", "space": r" \t\n\v\f\r", "upper": r"A-Z",
+    "word": r"0-9A-Za-z_", "xdigit": r"0-9A-Fa-f",
+}
+
+# positive inline flag group carrying 'm': (?m) (?im) (?m:...) etc.
+_INLINE_MULTILINE = re.compile(r"\(\?[a-zA-Z]*m[a-zA-Z]*[:)]")
+
+
+class JavaRegexDivergence(ValueError):
+    """Pattern uses syntax whose Java-regex meaning differs from RE2
+    (inline (?m), class intersection &&, nested/POSIX classes) — the
+    caller must route the schema to the exact interpreter path."""
+
+
+def _posix_class(pattern: str, i: int):
+    """If pattern[i:] starts a POSIX class ``[:name:]`` (inside a class),
+    return (python_expansion, next_index); else None. Raises on negated or
+    unknown names, like RE2 rejects unknown class names."""
+    if not pattern.startswith("[:", i):
+        return None
+    j = pattern.find(":]", i + 2)
+    if j < 0:
+        return None  # literal '[' ':' — both RE2 and Python treat as chars
+    name = pattern[i + 2:j]
+    if name.startswith("^"):
+        raise re.error(f"negated POSIX class [:{name}:] unsupported", pattern, i)
+    cls = _POSIX_CLASSES.get(name)
+    if cls is None:
+        raise re.error(f"unknown POSIX class [:{name}:]", pattern, i)
+    return cls, j + 2
+
 
 def translate_re2(pattern: str) -> str:
+    # RE2 (?m)$ and Python (?m)$ agree (line anchors); only the bare,
+    # non-multiline '$' needs the end-of-text rewrite
+    rewrite_dollar = not _INLINE_MULTILINE.search(pattern)
     out = []
     i, n = 0, len(pattern)
     in_class = False
     while i < n:
         c = pattern[i]
+        if in_class:
+            posix = _posix_class(pattern, i)
+            if posix is not None:
+                out.append(posix[0])
+                i = posix[1]
+                continue
         if c == "\\" and i + 1 < n:
             nxt = pattern[i + 1]
             if nxt == "z" and not in_class:
@@ -87,7 +134,7 @@ def translate_re2(pattern: str) -> str:
             out.append(c)
             i += 1
             continue
-        if c == "$" and not in_class:
+        if c == "$" and not in_class and rewrite_dollar:
             out.append(r"\Z")
             i += 1
             continue
@@ -109,12 +156,27 @@ def translate_re2_java(pattern: str) -> str:
     (like Python's) also matches before a trailing newline, RE2 ``$``
     without (?m) matches end-of-text only -> rewrite bare ``$`` and RE2
     ``\\z`` to Java ``\\z``.
+
+    Raises :class:`JavaRegexDivergence` for syntax Java parses differently
+    from RE2 — inline ``(?m)`` (Java line terminators include \\r etc.),
+    and inside character classes ``&&`` (Java intersection, RE2 literal),
+    a nested ``[`` (Java nested class, RE2 literal) or a POSIX
+    ``[:name:]`` (RE2 class, Java literal-ish) — callers route such
+    schemas to the exact Python-interpreter path.
     """
+    if _INLINE_MULTILINE.search(pattern):
+        raise JavaRegexDivergence("inline (?m) flag")
     out = []
     i, n = 0, len(pattern)
     in_class = False
     while i < n:
         c = pattern[i]
+        if in_class:
+            if c == "&" and pattern.startswith("&&", i):
+                raise JavaRegexDivergence("'&&' inside character class")
+            if c == "[":
+                raise JavaRegexDivergence(
+                    "'[' inside character class (nested/POSIX class)")
         if c == "\\" and i + 1 < n:
             out.append(c)
             out.append(pattern[i + 1])

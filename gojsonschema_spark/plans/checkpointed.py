@@ -23,15 +23,37 @@ A killed run resumes by rerunning: finished buckets are skipped.
 from __future__ import annotations
 
 import json
-import os
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.observation import Observation
 
 from ..spark.engine import SparkValidator
 
 __all__ = ["CheckpointedValidationRun"]
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    """Hadoop FileSystem + Path for any supported scheme (local, hdfs://,
+    s3a://, dbfs:/...) — driver-local os.path only works for local dirs."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _fs_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs_and_path(spark, path_str)
+    return bool(fs.exists(path))
+
+
+def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, path = _fs_and_path(spark, path_str)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 class CheckpointedValidationRun:
@@ -49,14 +71,15 @@ class CheckpointedValidationRun:
     def _bucket_dir(self, value) -> str:
         return f"{self.output_dir}/bucket={value}"
 
-    def is_done(self, value) -> bool:
-        return os.path.exists(f"{self._bucket_dir(value)}/_SUCCESS")
+    def is_done(self, value, spark: SparkSession = None) -> bool:
+        spark = spark or SparkSession.getActiveSession()
+        return _fs_exists(spark, f"{self._bucket_dir(value)}/_SUCCESS")
 
     def pending_buckets(self, df: DataFrame) -> list:
         values = [r[0] for r in
                   df.select(self.bucket_col).distinct().orderBy(self.bucket_col)
                     .collect()]
-        return [v for v in values if not self.is_done(v)]
+        return [v for v in values if not self.is_done(v, df.sparkSession)]
 
     # -- execution --------------------------------------------------------------
 
@@ -103,6 +126,6 @@ class CheckpointedValidationRun:
             "app_id": spark.sparkContext.applicationId,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        with open(f"{target}/_lineage.json", "w") as f:
-            json.dump(lineage, f, indent=1)
+        _fs_write_text(spark, f"{target}/_lineage.json",
+                       json.dumps(lineage, indent=1))
         return lineage

@@ -12,8 +12,11 @@ Schemas outside the expressible subset raise :class:`UnsupportedSchema`
 and route to the Arrow-batched pandas-UDF interpreter instead (engine.py).
 Known, documented divergences of the column path vs the exact interpreter:
 numbers needing >38 significant digits or exact rationals beyond
-DECIMAL(38,18) are compared in double precision (the bignum-exact path is
-the interpreter; see tests/test_spark_engine.py differential gate).
+DECIMAL(38,18) — including values whose lexical scale exceeds 18, e.g.
+0.9999999999999999999, which _num_dec deliberately refuses rather than
+letting Spark's decimal cast round it — are compared in double precision
+(the bignum-exact path is the interpreter; see tests/test_spark_engine.py
+differential gate).
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from fractions import Fraction
 from pyspark.sql import Column, functions as F
 
 from ..core.compiler import CompiledSchema, SubSchema
-from ..core.goregex import translate_re2_java
+from ..core.goregex import JavaRegexDivergence, translate_re2_java
 from ..core.jsonvalue import go_float_str
 
 __all__ = ["ColumnPlanCompiler", "UnsupportedSchema"]
@@ -33,6 +36,15 @@ _SIMPLE_KEY = __import__("re").compile(r"^[^\x00-\x1f]*$")
 
 class UnsupportedSchema(Exception):
     """Schema uses semantics the Column plan cannot express faithfully."""
+
+
+def _java_pattern(src: str) -> str:
+    """RE2 -> Java rlike pattern; Java-divergent syntax routes the whole
+    schema to the exact interpreter path."""
+    try:
+        return translate_re2_java(src)
+    except JavaRegexDivergence as e:
+        raise UnsupportedSchema(f"regex {src!r}: {e} (route to interpreter)")
 
 
 def _true() -> Column:
@@ -96,7 +108,19 @@ def _is_number(v: Column) -> Column:
 
 
 def _num_dec(v: Column) -> Column:
-    return F.try_variant_get(v, "$", "decimal(38,18)")
+    """Exact decimal(38,18) value, or NULL when the cast would be lossy.
+
+    Spark's decimal cast silently ROUNDS scale loss (0.9999999999999999999
+    -> 1.000000000000000000), so values whose lexical form needs scale > 18
+    (fraction digits minus exponent) must fall through to the double branch
+    — an inexact compare inside the documented double-fallback caveat, but
+    never a silently-rounded 'exact' one."""
+    txt = F.to_json(v)
+    frac_digits = F.length(F.regexp_extract(txt, r"\.([0-9]+)", 1))
+    exp = F.coalesce(
+        F.regexp_extract(txt, r"[eE]([+-]?[0-9]+)", 1).try_cast("int"), F.lit(0))
+    lossy = (frac_digits - exp) > 18
+    return F.when(~lossy, F.try_variant_get(v, "$", "decimal(38,18)"))
 
 
 def _num_dbl(v: Column) -> Column:
@@ -379,7 +403,7 @@ class ColumnPlanCompiler:
             n = node.max_length
             parts.append(lambda v, n=n: ~_is_string(v) | _nn(F.length(s_of(v)) <= n))
         if node.pattern is not None:
-            jp = translate_re2_java(node.pattern_src)
+            jp = _java_pattern(node.pattern_src)
             parts.append(lambda v, jp=jp: ~_is_string(v) | _nn(s_of(v).rlike(jp)))
         return parts
 
@@ -485,7 +509,7 @@ class ColumnPlanCompiler:
 
         pattern_pairs = []
         for pat, (rx, child) in node.pattern_properties.items():
-            jp = translate_re2_java(pat)
+            jp = _java_pattern(pat)
             sub = self._hof_node(child)
             pattern_pairs.append((jp, sub))
 
@@ -557,16 +581,25 @@ class ColumnPlanCompiler:
             n = node.max_length
             conds.append(lambda s, n=n: F.length(s) <= n)
         if node.pattern is not None:
-            jp = translate_re2_java(node.pattern_src)
+            jp = _java_pattern(node.pattern_src)
             conds.append(lambda s, jp=jp: s.rlike(jp))
         return lambda s: _all([c(s) for c in conds])
 
     def _format_check(self, name: str):
         from .format_columns import format_column_pred
 
-        pred, is_sql = format_column_pred(name)
-        if pred is None or (self._hof_depth > 0 and not is_sql):
+        pred, is_sql, is_custom = format_column_pred(name, self.compiled.formats)
+        if self._hof_depth > 0 and not is_sql:
             raise UnsupportedSchema(f"format {name!r} needs the interpreter/UDF path")
+
+        if is_custom:
+            # user-registered checker: sees the decoded value of ANY JSON
+            # type (reference format_checkers.go:147-158), so feed it the
+            # full JSON rendering, not just the string cast
+            def check_custom(v: Column) -> Column:
+                return _nn(pred(F.to_json(v)))
+
+            return check_custom
 
         def check(v: Column) -> Column:
             s = F.try_variant_get(v, "$", "string")

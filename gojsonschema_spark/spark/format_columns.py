@@ -6,8 +6,10 @@ Arrow-batched pandas UDF wrapping the exact checker from core.formats —
 usable in the plan wherever a Python UDF is legal (i.e. not inside
 higher-order-function lambdas; the plan compiler enforces that).
 
-Returns (pred, is_sql) from :func:`format_column_pred`; pred is None for
-formats with no column implementation (-> whole-schema UDF fallback).
+Returns (pred, is_sql, is_custom) from :func:`format_column_pred`.
+Checkers registered via ``FormatRegistry.add()`` take the custom path: an
+Arrow-batched UDF over the JSON rendering of the whole value, decoded with
+the interpreter's lexical parser (identical verdicts on both paths).
 """
 
 from __future__ import annotations
@@ -63,11 +65,16 @@ def _datetime_ok(s: Column) -> Column:
 
 _UDF_CACHE: dict = {}
 
+# pristine builtin checkers (FormatRegistry() is constructed with exactly
+# these); used to detect add()/remove() overrides on a compiled schema's
+# registry, which must NOT silently fall back to the builtin SQL preds
+_BUILTINS = dict(core_formats.FormatRegistry()._checkers)
 
-def _udf_for(name: str):
-    """Deferred Arrow-batched checker UDF: created (and cached) on first
-    application, so plan compilation needs no SparkSession."""
-    checker = core_formats.default_registry._checkers[name]
+
+def _udf_for(name: str, checker):
+    """Deferred Arrow-batched checker UDF over the raw string value:
+    created (and cached) on first application, so plan compilation needs
+    no SparkSession."""
 
     def pred(s: Column) -> Column:
         udf = _UDF_CACHE.get(name)
@@ -78,6 +85,30 @@ def _udf_for(name: str):
 
             udf = _UDF_CACHE[name] = check
         return udf(s)
+
+    return pred
+
+
+def custom_format_pred(name: str, checker):
+    """Column predicate for a user-registered checker: the UDF receives the
+    JSON rendering of the whole variant value and decodes it with the same
+    lexical-number parser the interpreter uses, so checker(value) sees
+    identical inputs on both engine paths (reference format_checkers.go:147-158
+    passes the decoded Go value, not just strings)."""
+    from ..core.jsonvalue import parse_json
+
+    key = ("custom", name, id(checker))
+
+    def pred(vjson: Column) -> Column:
+        udf = _UDF_CACHE.get(key)
+        if udf is None:
+            @pandas_udf("boolean")
+            def check(col: pd.Series) -> pd.Series:
+                return col.map(
+                    lambda x: True if x is None else bool(checker(parse_json(x))))
+
+            udf = _UDF_CACHE[key] = check
+        return udf(vjson)
 
     return pred
 
@@ -155,16 +186,26 @@ _SQL_PREDS = {
     "iri-reference": _uri_reference_ok,
 }
 
-# parser-backed formats: exact checker via one Arrow-batched pandas UDF
-_UDF_FORMATS = {
-    "email", "idn-email", "ipv6", "uri-template", "regex",
-}
+# (builtin formats not in _SQL_PREDS — email, idn-email, ipv6,
+# uri-template, regex — run their exact parser checker via one
+# Arrow-batched pandas UDF; see format_column_pred)
 
 
-def format_column_pred(name: str):
-    if name in _SQL_PREDS:
-        return _SQL_PREDS[name], True
-    if name in _UDF_FORMATS:
-        return _udf_for(name), False
-    # unknown formats always pass (reference format_checkers.go:182-185)
-    return (lambda s: F.lit(True)), True
+def format_column_pred(name: str, registry=None):
+    """(pred, is_sql, is_custom) for ``name`` under ``registry``.
+
+    * builtin checker still registered -> SQL pred or builtin-parser UDF
+      over the string value (non-strings pass);
+    * checker added/overridden via registry.add() -> ``is_custom=True``:
+      pred takes the to_json rendering of the WHOLE value (any JSON type);
+    * checker absent (unknown or remove()d) -> always passes
+      (reference format_checkers.go:182-185)."""
+    registry = registry or core_formats.default_registry
+    checker = registry._checkers.get(name)
+    if checker is None:
+        return (lambda s: F.lit(True)), True, False
+    if checker is _BUILTINS.get(name):
+        if name in _SQL_PREDS:
+            return _SQL_PREDS[name], True, False
+        return _udf_for(name, checker), False, False
+    return custom_format_pred(name, checker), False, True

@@ -131,3 +131,28 @@ def test_format_checkers_vectors():
 def test_enum_duplicate_is_compile_error():
     with pytest.raises(SchemaCompileError):
         compile_schema({"enum": [1, 1.0]})
+
+
+def test_goregex_multiline_and_posix():
+    from gojsonschema_spark.core.goregex import (
+        JavaRegexDivergence, compile_re2, translate_re2_java)
+
+    # RE2 '$' without (?m) is end-of-text: no trailing-newline match
+    assert compile_re2("^example\\.com$").search("example.com\n") is None
+    # with (?m), '$' is a line anchor in BOTH RE2 and Python: keep it
+    assert compile_re2("(?m)^ab$").search("xx\nab\ncd")
+    # POSIX classes are RE2 syntax; Python needs the expansion
+    assert compile_re2("^[[:alpha:]]+$").search("abc")
+    assert compile_re2("^[[:digit:]]+$").search("12a") is None
+    assert compile_re2("^[[:xdigit:]]+$").search("1aF")
+    # Java-divergent syntax must raise so schemas route to the interpreter
+    for bad in ["(?m)^a$", "[a&&b]", "[a[b]]", "x[[:alpha:]]y"]:
+        with pytest.raises(JavaRegexDivergence):
+            translate_re2_java(bad)
+    # plain anchors still get the end-of-text rewrite for rlike
+    assert translate_re2_java("^src[0-9]+$") == "^src[0-9]+\\z"
+
+
+def test_hostname_rejects_trailing_newline():
+    assert default_registry.is_format("hostname", "example.com")
+    assert not default_registry.is_format("hostname", "example.com\n")

@@ -82,3 +82,14 @@ def test_unique_items_reports_indices():
     assert err.error_type == "unique"
     assert (err.details["i"], err.details["j"]) == (0, 2)
     assert "items[0,2] must be unique" in str(err)
+
+
+def test_fractional_bound_message_renders_as_float():
+    """minimum 1.5 must print '1.5' in the message, not the Fraction '3/2'
+    (reference locales.go NumberGTE receives a Go number)."""
+    schema = compile_schema({"properties": {"n": {"minimum": 1.5,
+                                                  "multipleOf": 0.5}}})
+    r = schema.validate({"n": 1.25})
+    msgs = sorted(str(e) for e in r.errors)
+    assert msgs[0] == "n: Must be a multiple of 0.5"
+    assert msgs[1] == "n: Must be greater than or equal to 1.5"

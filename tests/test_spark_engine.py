@@ -94,6 +94,59 @@ def test_udf_fallback_full_parity(spark):
     assert got == [False, True, False]
 
 
+def test_custom_format_checker_both_paths(spark):
+    """FormatRegistry.add()/remove() must flip verdicts identically on the
+    column plan and the interpreter UDF (reference format_checkers.go:147-188:
+    the checker sees the decoded value of ANY JSON type)."""
+    from gojsonschema_spark.core.compiler import SchemaCompiler
+    from gojsonschema_spark.core.formats import FormatRegistry
+
+    def even_length(v):
+        if isinstance(v, str):
+            return len(v) % 2 == 0
+        if isinstance(v, dict):
+            return len(v) <= 1  # custom checkers may judge non-strings
+        return True
+
+    reg = FormatRegistry().add("even-length", even_length)
+    schema = {"properties": {"x": {"format": "even-length"}}}
+    docs = [('{"x": "ab"}',), ('{"x": "abc"}',), ('{"x": 7}',),
+            ('{"x": null}',), ('{"x": {"a":1,"b":2}}',), ('{"x": {"a":1}}',)]
+    expect = [True, False, True, True, False, True]
+    df = spark.createDataFrame(docs, ["doc"])
+
+    col_v = SparkValidator(schema, compiler=SchemaCompiler(formats=reg))
+    assert col_v.uses_column_plan
+    udf_v = SparkValidator(schema, compiler=SchemaCompiler(formats=reg),
+                           force_udf=True)
+    got_col = [r.valid for r in
+               col_v.validate_json(df, "doc", violations_col=None).collect()]
+    got_udf = [r.valid for r in
+               udf_v.validate_json(df, "doc", violations_col=None).collect()]
+    assert got_col == expect
+    assert got_udf == expect
+
+    # overriding a BUILTIN must shadow its SQL predicate on the column path
+    reg2 = FormatRegistry().add(
+        "date", lambda v: v == "2020-01-01" if isinstance(v, str) else True)
+    dv = SparkValidator({"properties": {"d": {"format": "date"}}},
+                        compiler=SchemaCompiler(formats=reg2))
+    assert dv.uses_column_plan
+    ddf = spark.createDataFrame(
+        [('{"d": "2020-01-01"}',), ('{"d": "2020-06-15"}',)], ["doc"])
+    assert [r.valid for r in
+            dv.validate_json(ddf, "doc", violations_col=None).collect()] == \
+        [True, False]
+
+    # remove()d builtin behaves like an unknown format: always passes
+    reg3 = FormatRegistry().remove("hostname")
+    hv = SparkValidator({"properties": {"h": {"format": "hostname"}}},
+                        compiler=SchemaCompiler(formats=reg3))
+    hdf = spark.createDataFrame([('{"h": "_bad_"}',)], ["doc"])
+    assert [r.valid for r in
+            hv.validate_json(hdf, "doc", violations_col=None).collect()] == [True]
+
+
 def test_two_pass_violations(spark):
     schema = {"type": "object", "required": ["url"],
               "properties": {"url": {"type": "string", "format": "uri"},
