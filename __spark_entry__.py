@@ -142,10 +142,17 @@ q_kw_oneof = _kw_query(
     lambda: F.to_json(F.struct(F.col("n_chars").alias("n"))))
 
 q_kw_items_unique = _kw_query(
-    # uniqueItems routes this schema to the interpreter-UDF path by design
-    {"properties": {"a": {"items": {"minimum": 100}, "uniqueItems": True}}},
-    lambda: F.concat(F.lit('{"a": ['), F.col("n_chars"), F.lit(", "),
-                     F.col("n_chars") + 1, F.lit("]}")))
+    # typed items -> scalar-guaranteed uniqueItems stays on the SQL column
+    # plan; doc_id%6==0 rows repeat the value in a different lexical form
+    # (157 vs 157.0) to exercise canonical numeric equality
+    {"properties": {"a": {"items": {"type": "integer", "minimum": 100},
+                          "uniqueItems": True}}},
+    lambda: F.concat(
+        F.lit('{"a": ['), F.col("n_chars"), F.lit(", "),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.col("n_chars").cast("string"), F.lit(".0")))
+         .otherwise((F.col("n_chars") + 1).cast("string")),
+        F.lit("]}")))
 
 q_kw_dependencies = _kw_query(
     {"dependencies": {"a": ["b"]}},
@@ -565,7 +572,8 @@ def oracle_sql() -> dict[str, str]:
                      "FROM documents"),
         "kw_oneof": ("SELECT doc_id, (n_chars % 2 = 0) <> (n_chars % 3 = 0) AS valid "
                      "FROM documents"),
-        "kw_items_unique": ("SELECT doc_id, n_chars >= 100 AS valid FROM documents"),
+        "kw_items_unique": ("SELECT doc_id, n_chars >= 100 AND doc_id % 6 <> 0 "
+                            "AS valid FROM documents"),
         "kw_dependencies": ("SELECT doc_id, (doc_id % 2 <> 0 OR doc_id % 3 = 0) AS valid "
                             "FROM documents"),
         "kw_if_then_else": """

@@ -127,6 +127,46 @@ def _num_dbl(v: Column) -> Column:
     return F.try_variant_get(v, "$", "double")
 
 
+def _scalar_canon_key(x: Column) -> Column:
+    """Canonical-equality key for a SCALAR variant element (uniqueItems).
+
+    Mirrors the reference's marshalWithoutNumber collapse (utils.go:84-104,
+    validation.go:530-547) for scalars: 1, 1.0 and 1e0 get the same key via
+    the lossless decimal(38,18) rendering (double fallback beyond it, the
+    documented divergence class); strings/bools/null are tagged by kind so
+    '"1"' never collides with 1."""
+    fc = _fc(x)
+    num_key = F.concat(F.lit("d"), F.coalesce(_num_dec(x).cast("string"),
+                                              _num_dbl(x).cast("string")))
+    return (F.when(F.is_variant_null(x), F.lit("n"))
+             .when(fc == '"', F.concat(F.lit("s"),
+                                       F.try_variant_get(x, "$", "string")))
+             .when(fc.isin("t", "f"), fc)
+             .otherwise(num_key))
+
+
+_SCALAR_TYPES = {"string", "integer", "number", "boolean", "null"}
+
+
+def _guarantees_scalar(node, depth: int = 0) -> bool:
+    """True if every instance ACCEPTED by ``node`` is a JSON scalar — then
+    arrays with composite elements already fail the items conjunction and
+    uniqueItems' scalar-only SQL key is exact for all verdict-relevant rows."""
+    if node is None or depth > 16:
+        return False
+    if node.ref_schema is not None:
+        return _guarantees_scalar(node.ref_schema, depth + 1)
+    if node.types and set(node.types) <= _SCALAR_TYPES:
+        return True
+    if node.const_ is not None and node.const_[:1] not in "[{":
+        return True
+    if node.enum and all(c[:1] not in "[{" for c in node.enum):
+        return True
+    if node.all_of and any(_guarantees_scalar(s, depth + 1) for s in node.all_of):
+        return True
+    return False
+
+
 def _is_integer(v: Column) -> Column:
     return _is_number(v) & _nn(
         F.coalesce(
@@ -462,9 +502,25 @@ class ColumnPlanCompiler:
                 v, _nn(F.exists(_arr(v), lambda x: sub(x)))))
 
         if node.unique_items:
-            # canonical-JSON uniqueness is exact only for scalar elements on
-            # this path; objects/arrays inside uniqueItems -> interpreter
-            raise UnsupportedSchema("uniqueItems (route to interpreter)")
+            # exact in SQL only when the items conjunction guarantees scalar
+            # elements (see _guarantees_scalar); composite-element
+            # canonical equality (key-order-insensitive) -> interpreter
+            single_ok = (node.items_single and node.items_children
+                         and _guarantees_scalar(node.items_children[0]))
+            tuple_ok = (not node.items_single and node.items_children
+                        and all(_guarantees_scalar(c) for c in node.items_children)
+                        and node.additional_items is False)
+            if not (single_ok or tuple_ok):
+                raise UnsupportedSchema(
+                    "uniqueItems over possibly-composite elements "
+                    "(route to interpreter)")
+
+            def unique(v):
+                arr = _arr(v)
+                keys = F.transform(arr, _scalar_canon_key)
+                return guard(v, _nn(F.size(F.array_distinct(keys)) == F.size(arr)))
+
+            parts.append(unique)
         return parts
 
     # -- objects -----------------------------------------------------------------

@@ -94,6 +94,37 @@ def test_udf_fallback_full_parity(spark):
     assert got == [False, True, False]
 
 
+def test_unique_items_sql_path(spark):
+    """Scalar-guaranteed uniqueItems compiles to the pure-SQL plan and
+    matches the exact interpreter on canonical-equality corner cases
+    (reference validation.go:530-547)."""
+    schema = {"properties": {"a": {
+        "items": {"type": ["integer", "number", "null", "boolean", "string"]},
+        "uniqueItems": True}}, "required": ["a"]}
+    v = SparkValidator(schema)
+    assert v.uses_column_plan, v.unsupported_reason
+    u = SparkValidator(schema, force_udf=True)
+    docs = ['{"a": [1, 1.0]}',        # numeric lexical forms collapse
+            '{"a": [1e2, 100]}',      # exponent form collapses
+            '{"a": ["1", 1]}',        # string vs number stay distinct
+            '{"a": [true, 1]}',       # bool vs number stay distinct
+            '{"a": [0, false]}',
+            '{"a": [null, null]}',
+            '{"a": ["a", "b", "a"]}',
+            '{"a": [1, 2, 3]}']
+    df = spark.createDataFrame([(d,) for d in docs], ["doc"])
+    got_col = [r.valid for r in
+               v.validate_json(df, "doc", violations_col=None).collect()]
+    got_udf = [r.valid for r in
+               u.validate_json(df, "doc", violations_col=None).collect()]
+    assert got_col == got_udf == [False, False, True, True, True,
+                                  False, False, True]
+
+    # composite elements still route to the interpreter
+    w = SparkValidator({"uniqueItems": True})
+    assert not w.uses_column_plan
+
+
 def test_custom_format_checker_both_paths(spark):
     """FormatRegistry.add()/remove() must flip verdicts identically on the
     column plan and the interpreter UDF (reference format_checkers.go:147-188:
