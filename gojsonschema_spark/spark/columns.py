@@ -180,15 +180,44 @@ _MAX_DEC = Fraction(10) ** 20  # decimal(38,18) integral range bound
 
 
 class ColumnPlanCompiler:
-    def __init__(self, compiled: CompiledSchema):
+    """Lowers a compiled schema to a pure-SQL predicate.
+
+    Cyclic ``$ref`` chains are unrolled ``max_ref_depth`` times at compile
+    time (reference walks them dynamically, schema.go:975-977 +
+    schemaReferencePool.go:32-68); past the unroll the plan emits an
+    optimistic TRUE *frontier* plus a parallel reach-DETECTOR predicate.
+    Rows whose documents actually nest deep enough to touch a frontier are
+    re-verdicted by the exact interpreter UDF (engine.py hybrid) — at web
+    scale the overwhelmingly common shallow documents stay on codegen SQL
+    and only the deep tail pays for Python."""
+
+    def __init__(self, compiled: CompiledSchema, max_ref_depth: int = 3,
+                 max_nodes: int = 4000):
         self.compiled = compiled
-        self._stack: list[int] = []  # $ref cycle guard
+        self.max_ref_depth = max_ref_depth
+        self.max_nodes = max_nodes
+        self._stack: list[int] = []  # $ref occurrence counting (unroll)
         self._hof_depth = 0  # >0: pred will run inside a HOF lambda -> SQL-only
+        self._nodes = 0
+        self._frontier_hit = False
+        self.frontier_plan = None  # set by compile() when a frontier exists
 
     def compile(self):
-        """Return pred(v: variant Column) -> boolean Column ('valid' bit)."""
+        """Return pred(v: variant Column) -> boolean Column ('valid' bit).
+
+        Side effect: ``self.frontier_plan`` becomes a reach-detector
+        callable (variant Column -> boolean Column) when the schema needed
+        depth-bounded $ref unrolling, else stays None."""
         root = self.compiled.root
         pred = self._node(root)
+        if self._frontier_hit:
+            det = self._det_node(root)
+            assert det is not None, "frontier emitted but detector is empty"
+
+            def frontier(v: Column) -> Column:
+                return v.isNotNull() & _nn(det(v))
+
+            self.frontier_plan = frontier
 
         def plan(v: Column) -> Column:
             # malformed / SQL-null documents are invalid on this path.
@@ -209,14 +238,24 @@ class ColumnPlanCompiler:
     # -- node compilation ----------------------------------------------------
 
     def _node(self, node: SubSchema):
+        self._nodes += 1
+        if self._nodes > self.max_nodes:
+            raise UnsupportedSchema(
+                f"unrolled plan exceeds {self.max_nodes} nodes "
+                "(route to interpreter)")
         if node.pass_ is not None:
             val = bool(node.pass_)
             return lambda v: F.lit(val)
 
         if node.ref_schema is not None:
-            if id(node.ref_schema) in self._stack:
-                raise UnsupportedSchema("cyclic $ref (route to interpreter)")
-            self._stack.append(id(node.ref_schema))
+            rid = id(node.ref_schema)
+            if self._stack.count(rid) >= self.max_ref_depth:
+                # unroll frontier: optimistically TRUE here; the reach
+                # detector routes rows that actually get this deep to the
+                # exact interpreter (engine.py hybrid)
+                self._frontier_hit = True
+                return lambda v: F.lit(True)
+            self._stack.append(rid)
             try:
                 return self._node(node.ref_schema)
             finally:
@@ -239,6 +278,149 @@ class ColumnPlanCompiler:
             return _all([p(v) for p in parts])
 
         return pred
+
+    # -- frontier reach detector ----------------------------------------------
+    #
+    # Mirrors _node's recursion structure but answers a different question:
+    # "could validateRecursive, applied to this value, reach an unroll
+    # frontier?" Conservative over-approximation is safe (extra rows just
+    # take the exact interpreter); missing a reach would be a wrong verdict,
+    # so every recursion site _node compiles is mirrored here.
+
+    def _det_node(self, node: SubSchema):
+        if node.pass_ is not None:
+            return None
+        if node.ref_schema is not None:
+            rid = id(node.ref_schema)
+            if self._stack.count(rid) >= self.max_ref_depth:
+                return lambda v: F.lit(True)  # the frontier site itself
+            self._stack.append(rid)
+            try:
+                return self._det_node(node.ref_schema)
+            finally:
+                self._stack.pop()
+
+        dets = []
+
+        def add(d):
+            if d is not None:
+                dets.append(d)
+
+        for sub in list(node.any_of) + list(node.all_of) + list(node.one_of):
+            add(self._det_node(sub))
+        for sub in (node.not_, node.if_, node.then_, node.else_):
+            if sub is not None:
+                add(self._det_node(sub))
+        for key, dep in node.dependencies.items():
+            if not isinstance(dep, list):
+                d = self._det_node(dep)
+                if d is not None:
+                    def dep_det(v, key=key, d=d):
+                        mp = _mp(v)
+                        present = F.element_at(mp, F.lit(key)).isNotNull()
+                        return mp.isNotNull() & _nn(present) & _nn(d(v))
+
+                    add(dep_det)
+
+        for child in node.properties_children:
+            d = self._det_node(child)
+            if d is not None:
+                def prop_det(v, key=child.property, d=d):
+                    val = F.element_at(_mp(v), F.lit(key))
+                    return val.isNotNull() & _nn(d(val))
+
+                add(prop_det)
+
+        for pat, (rx, child) in node.pattern_properties.items():
+            d = self._det_node(child)
+            if d is not None:
+                jp = _java_pattern(pat)
+
+                def pat_det(v, jp=jp, d=d):
+                    mp = _mp(v)
+                    return mp.isNotNull() & _nn(F.exists(
+                        F.map_keys(mp),
+                        lambda k: k.rlike(jp) & _nn(d(F.element_at(mp, k)))))
+
+                add(pat_det)
+
+        if isinstance(node.additional_properties, SubSchema):
+            d = self._det_node(node.additional_properties)
+            if d is not None:
+                declared = tuple(c.property for c in node.properties_children)
+                jps = tuple(_java_pattern(p) for p in node.pattern_properties)
+
+                def ap_det(v, declared=declared, jps=jps, d=d):
+                    mp = _mp(v)
+
+                    def uncovered(k):
+                        c = F.lit(True)
+                        if declared:
+                            c = c & ~k.isin(*declared)
+                        for jp in jps:
+                            c = c & ~k.rlike(jp)
+                        return c
+
+                    return mp.isNotNull() & _nn(F.exists(
+                        F.map_keys(mp),
+                        lambda k: uncovered(k) & _nn(d(F.element_at(mp, k)))))
+
+                add(ap_det)
+
+        def arr_exists_det(d):
+            def det(v, d=d):
+                arr = _arr(v)
+                return arr.isNotNull() & _nn(
+                    F.exists(arr, lambda x: _nn(d(x))))
+
+            return det
+
+        if node.items_single and node.items_children:
+            d = self._det_node(node.items_children[0])
+            if d is not None:
+                add(arr_exists_det(d))
+        elif node.items_children:
+            for i, sub in enumerate(node.items_children):
+                d = self._det_node(sub)
+                if d is not None:
+                    def tup_det(v, i=i, d=d):
+                        arr = _arr(v)
+                        return (arr.isNotNull() & _nn(F.size(arr) > i)
+                                & _nn(d(F.element_at(arr, i + 1))))
+
+                    add(tup_det)
+            if isinstance(node.additional_items, SubSchema):
+                d = self._det_node(node.additional_items)
+                if d is not None:
+                    n = len(node.items_children)
+
+                    def ai_det(v, n=n, d=d):
+                        arr = _arr(v)
+                        tail = F.slice(arr, n + 1,
+                                       F.greatest(F.size(arr) - n, F.lit(0)))
+                        return arr.isNotNull() & _nn(
+                            F.exists(tail, lambda x: _nn(d(x))))
+
+                    add(ai_det)
+
+        if node.contains is not None:
+            d = self._det_node(node.contains)
+            if d is not None:
+                add(arr_exists_det(d))
+
+        # propertyNames instances are strings: no structural recursion
+
+        if not dets:
+            return None
+
+        def det(v: Column) -> Column:
+            out = None
+            for d in dets:
+                c = _nn(d(v))
+                out = c if out is None else (out | c)
+            return out
+
+        return det
 
     def _type_check(self, types: list[str]):
         def check(v: Column) -> Column:
@@ -620,7 +802,15 @@ class ColumnPlanCompiler:
             val = bool(node.pass_)
             return lambda s: F.lit(val)
         if node.ref_schema is not None:
-            return self._string_instance_pred(node.ref_schema)
+            rid = id(node.ref_schema)
+            if rid in self._stack:
+                raise UnsupportedSchema(
+                    "cyclic $ref in propertyNames (route to interpreter)")
+            self._stack.append(rid)
+            try:
+                return self._string_instance_pred(node.ref_schema)
+            finally:
+                self._stack.pop()
         unsupported = (node.any_of or node.one_of or node.all_of or node.not_
                        or node.if_ or node.const_ is not None or node.enum
                        or node.format or node.properties_children

@@ -41,10 +41,15 @@ class SparkValidator:
             draft=draft, auto_detect=auto_detect, validate_schema=validate_schema)
         self.compiled = self.compiler.compile(schema)
         self.column_plan = None
+        self.frontier_plan = None
         self.unsupported_reason = None
         if not force_udf:
             try:
-                self.column_plan = ColumnPlanCompiler(self.compiled).compile()
+                cc = ColumnPlanCompiler(self.compiled)
+                self.column_plan = cc.compile()
+                # non-None for depth-unrolled cyclic $refs: rows nesting
+                # past the unroll are re-verdicted by the interpreter
+                self.frontier_plan = cc.frontier_plan
             except UnsupportedSchema as e:
                 self.unsupported_reason = str(e)
 
@@ -55,9 +60,15 @@ class SparkValidator:
     # -- public API -----------------------------------------------------------
 
     def valid_column(self, variant_col: Column) -> Column:
-        """Pure-SQL 'valid' bit over a VARIANT column (column plan only)."""
+        """Pure-SQL 'valid' bit over a VARIANT column (column plan only).
+
+        Raises for depth-unrolled cyclic schemas: their exact verdict needs
+        the hybrid deep-row fallback of :meth:`validate_json`."""
         if self.column_plan is None:
             raise UnsupportedSchema(self.unsupported_reason or "no column plan")
+        if self.frontier_plan is not None:
+            raise UnsupportedSchema(
+                "cyclic $ref unroll frontier: use validate_json (hybrid)")
         return self.column_plan(variant_col)
 
     def validate_json(self, df: DataFrame, doc_col: str,
@@ -72,7 +83,22 @@ class SparkValidator:
             # pass-2 UDF receives the `valid` ATTRIBUTE, not a re-evaluated
             # (interpreted, non-codegen) copy of the whole predicate.
             df = _barrier(df, "__gjs_v", F.try_parse_json(doc))
-            df = df.withColumn(valid_col, self.column_plan(F.col("__gjs_v")))
+            if self.frontier_plan is None:
+                df = df.withColumn(valid_col, self.column_plan(F.col("__gjs_v")))
+            else:
+                # hybrid: rows nesting past the compile-time $ref unroll are
+                # re-verdicted by the exact interpreter; the UDF input is
+                # masked to NULL for shallow rows so Arrow ships (and Python
+                # parses) only the deep tail
+                df = _barrier(df, "__gjs_deep",
+                              self.frontier_plan(F.col("__gjs_v")))
+                verdict = make_verdict_udf(self.compiled, with_violations=False)
+                deep_doc = F.when(F.col("__gjs_deep"), doc)
+                df = df.withColumn(
+                    valid_col,
+                    F.when(F.col("__gjs_deep"), verdict(deep_doc)["valid"])
+                     .otherwise(self.column_plan(F.col("__gjs_v"))))
+                df = df.drop("__gjs_deep")
             if violations_col:
                 df = _barrier(df, "__gjs_valid", F.col(valid_col))
                 elaborate = make_violations_udf(self.compiled)

@@ -61,37 +61,100 @@ def test_column_plan_differential_vs_suite(spark):
         df = spark.createDataFrame(rows, ["sid", "doc", "expected", "label"])
         var = F.try_parse_json(F.col("doc"))
         pred = None
+        deep = None
         for sid, (v, _) in enumerate(chunk):
             branch = v.column_plan(var)
             pred = (F.when(F.col("sid") == sid, branch) if pred is None
                     else pred.when(F.col("sid") == sid, branch))
-        out = df.withColumn("got", pred).collect()
+            # depth-unrolled cyclic schemas: rows past the unroll frontier
+            # are interpreter-verdicted in validate_json (hybrid) — the
+            # SQL bit alone is not the engine's verdict there, so exclude
+            # them here (interpreter parity is the suite gate's job)
+            fr = (v.frontier_plan(var) if v.frontier_plan is not None
+                  else F.lit(False))
+            deep = (F.when(F.col("sid") == sid, fr) if deep is None
+                    else deep.when(F.col("sid") == sid, fr))
+        out = df.withColumn("got", pred).withColumn("deep", deep).collect()
         for r in out:
-            if r.got != r.expected:
+            if r.got != r.expected and not r.deep:
                 mismatches.append(f"{r.label}: expected {r.expected}, got {r.got}")
     assert not mismatches, f"{len(mismatches)} mismatches:\n" + "\n".join(mismatches[:40])
 
 
 def test_udf_fallback_full_parity(spark):
     """Schemas without a column plan run on the interpreter UDF — spot-check
-    a cyclic-$ref schema and a uniqueItems schema end to end on Spark."""
+    a uniqueItems-on-composites schema end to end on Spark."""
+    u = SparkValidator({"uniqueItems": True})
+    assert not u.uses_column_plan
+    df = spark.createDataFrame([('[1, 1.0]',), ('[1, true]',), ('[{"a":1},{"a":1.0}]',)], ["doc"])
+    got = [r.valid for r in u.validate_json(df, "doc").collect()]
+    assert got == [False, True, False]
+
+
+def test_cyclic_ref_depth_unroll_hybrid(spark):
+    """Cyclic $refs compile to a depth-3 unrolled SQL plan; only documents
+    that nest past the unroll frontier fall back to the interpreter
+    (reference schema.go:975-977 walks the cycle dynamically)."""
     v = SparkValidator({
         "definitions": {"node": {
             "type": "object",
             "properties": {"next": {"$ref": "#/definitions/node"}},
             "additionalProperties": False}},
         "$ref": "#/definitions/node"})
-    assert not v.uses_column_plan
-    df = spark.createDataFrame(
-        [('{"next": {"next": {}}}',), ('{"next": 1}',), ('{"bad": true}',)], ["doc"])
+    assert v.uses_column_plan
+    assert v.frontier_plan is not None
+    docs = [
+        '{"next": {"next": {}}}',                      # shallow: SQL
+        '{"next": 1}',                                 # shallow invalid
+        '{"bad": true}',                               # shallow invalid
+        '{"next": {"next": {"next": {"next": {}}}}}',  # deep: interpreter
+        '{"next": {"next": {"next": {"next": 7}}}}',   # deep invalid
+        '{broken',                                     # malformed
+    ]
+    expect = [True, False, False, True, False, False]
+    df = spark.createDataFrame([(d,) for d in docs], ["doc"])
     got = [r.valid for r in v.validate_json(df, "doc").collect()]
-    assert got == [True, False, False]
+    assert got == expect
+    # force_udf parity on the same corpus
+    u = SparkValidator({
+        "definitions": {"node": {
+            "type": "object",
+            "properties": {"next": {"$ref": "#/definitions/node"}},
+            "additionalProperties": False}},
+        "$ref": "#/definitions/node"}, force_udf=True)
+    assert [r.valid for r in u.validate_json(df, "doc").collect()] == expect
 
-    u = SparkValidator({"uniqueItems": True})
-    assert not u.uses_column_plan
-    df = spark.createDataFrame([('[1, 1.0]',), ('[1, true]',), ('[{"a":1},{"a":1.0}]',)], ["doc"])
-    got = [r.valid for r in u.validate_json(df, "doc").collect()]
-    assert got == [False, True, False]
+    # the frontier detector only fires for genuinely deep rows
+    from pyspark.sql import functions as SF
+    deep = [r.d for r in df.select(
+        v.frontier_plan(SF.try_parse_json("doc")).alias("d")).collect()]
+    assert deep == [False, False, False, True, True, False]
+
+    # mutually-recursive pair through combinators
+    m = SparkValidator({
+        "definitions": {
+            "a": {"anyOf": [{"type": "integer"},
+                            {"type": "object",
+                             "properties": {"b": {"$ref": "#/definitions/b"}},
+                             "required": ["b"]}]},
+            "b": {"items": {"$ref": "#/definitions/a"}}},
+        "$ref": "#/definitions/a"})
+    assert m.uses_column_plan
+    mdocs = ['5', '{"b": [1, 2]}', '{"b": [{"b": []}]}',
+             '{"b": [{"b": [{"b": [{"b": [{"b": [0]}]}]}]}]}',
+             '{"b": [{"b": [{"b": [{"b": [{"b": ["x"]}]}]}]}]}']
+    mexp = [True, True, True, True, False]
+    mdf = spark.createDataFrame([(d,) for d in mdocs], ["doc"])
+    assert [r.valid for r in m.validate_json(mdf, "doc").collect()] == mexp
+    mu = SparkValidator({
+        "definitions": {
+            "a": {"anyOf": [{"type": "integer"},
+                            {"type": "object",
+                             "properties": {"b": {"$ref": "#/definitions/b"}},
+                             "required": ["b"]}]},
+            "b": {"items": {"$ref": "#/definitions/a"}}},
+        "$ref": "#/definitions/a"}, force_udf=True)
+    assert [r.valid for r in mu.validate_json(mdf, "doc").collect()] == mexp
 
 
 def test_unique_items_sql_path(spark):
