@@ -349,7 +349,8 @@ def _dup_corpus(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dd.exact_duplicates(_dup_corpus(spark, sf_dir)).select("fp", "n_dups")
+    return (dd.exact_duplicates(_dup_corpus(spark, sf_dir), max_members=0)
+              .select("fp", "n_dups"))
 
 
 def q_text_token_count(spark, sf_dir):

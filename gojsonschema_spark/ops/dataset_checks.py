@@ -84,9 +84,14 @@ def referential_orphans(fact: DataFrame, fact_key: str, dim: DataFrame,
 
 
 def _cat_dist(df: DataFrame, col: str, p_name: str) -> DataFrame:
-    total = df.count()
-    return (df.groupBy(col)
-              .agg((F.count(F.lit(1)) / F.lit(total)).alias(p_name)))
+    """Normalized category histogram in ONE scan: the total comes from a
+    global window over the grouped rows (<= |categories| of them), not a
+    second df.count() pass over the data."""
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("__n"))
+    total = F.sum("__n").over(Window.partitionBy())
+    return hist.select(col, (F.col("__n") / total).alias(p_name))
 
 
 def categorical_drift_kl(df_p: DataFrame, df_q: DataFrame, col: str,

@@ -24,14 +24,33 @@ __all__ = ["exact_duplicates", "shingles", "minhash_signatures",
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
-                     key_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical (after normalization) documents."""
+                     key_col: str = "doc_id",
+                     max_members: int = 16) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents.
+
+    ``members`` carries at most ``max_members`` exemplar keys per group —
+    a degenerate fingerprint (e.g. the empty-text group, ~1% of a web
+    corpus) must never build a 10^9-element array on one reducer. The cap
+    is enforced BEFORE aggregation via a row_number window, so per-group
+    reducer state stays bounded; the groupBy reuses the window's hash
+    partitioning on fp (no second shuffle). ``max_members=0`` skips the
+    member list entirely (fp + n_dups only)."""
+    from pyspark.sql.window import Window
+
     fp = F.md5(normalize_text(F.col(text_col))).alias("fp")
-    return (df.select(fp, F.col(key_col))
-              .groupBy("fp")
-              .agg(F.count(F.lit(1)).alias("n_dups"),
-                   F.sort_array(F.collect_list(key_col)).alias("members"))
-              .filter(F.col("n_dups") >= 2))
+    base = df.select(fp, F.col(key_col))
+    if not max_members:
+        return (base.groupBy("fp")
+                    .agg(F.count(F.lit(1)).alias("n_dups"))
+                    .filter(F.col("n_dups") >= 2))
+    w = Window.partitionBy("fp").orderBy(key_col)
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    return (ranked.groupBy("fp")
+                  .agg(F.count(F.lit(1)).alias("n_dups"),
+                       F.sort_array(F.collect_list(
+                           F.when(F.col("__rn") <= max_members,
+                                  F.col(key_col)))).alias("members"))
+                  .filter(F.col("n_dups") >= 2))
 
 
 def shingles(text: Column, k: int = 3) -> Column:

@@ -52,6 +52,14 @@ def test_dedup_exact_and_minhash(spark):
     exact = dd.exact_duplicates(df).collect()
     assert len(exact) == 1 and exact[0].members == [1, 2]
 
+    # skew guard: members bounded by max_members, n_dups still exact
+    many = spark.createDataFrame([(i, "") for i in range(50)]
+                                 + [(100, "unique text")], ["doc_id", "text"])
+    (grp,) = dd.exact_duplicates(many, max_members=8).collect()
+    assert grp.n_dups == 50 and grp.members == list(range(8))
+    (grp0,) = dd.exact_duplicates(many, max_members=0).collect()
+    assert grp0.n_dups == 50 and "members" not in grp0.asDict()
+
     pairs = {(r.key_a, r.key_b)
              for r in dd.minhash_lsh_pairs(df, num_hashes=32, bands=16).collect()}
     assert (1, 2) in pairs          # identical docs always collide

@@ -90,3 +90,15 @@ def test_two_pass_violations_python_sees_valid_attribute(spark, pages_path):
     # the UDF argument list must reference the barrier attribute, not a
     # re-inlined parse_json(...) of the whole predicate
     assert "parseJson" not in arrow_lines[0]
+
+
+def test_drift_single_scan_per_side(spark, pages_path):
+    """categorical_drift_kl must read each side ONCE: the histogram total
+    comes from the grouped rows, not a second count() pass."""
+    pages = spark.read.parquet(pages_path)
+    out = dc.categorical_drift_kl(pages.filter(F.crc32("url") % 2 == 0),
+                                  pages.filter(F.crc32("url") % 2 == 1),
+                                  "lang")
+    plan = _plan(out)
+    n_scans = sum(1 for l in plan.splitlines() if "FileScan parquet" in l)
+    assert n_scans == 2, f"expected 1 scan per side, plan has {n_scans}"
