@@ -19,7 +19,9 @@ from fractions import Fraction
 
 from .jsonvalue import Num, canonical_json, go_float_str
 
-__all__ = ["ROOT_CONTEXT", "Violation", "Result", "SchemaCompileError", "render_value"]
+__all__ = ["ROOT_CONTEXT", "Violation", "Result", "SchemaCompileError",
+           "render_value", "set_locale", "set_error_template_funcs",
+           "ERROR_TEMPLATE_FUNCS"]
 
 ROOT_CONTEXT = ("(root)",)
 
@@ -60,7 +62,20 @@ MESSAGES = {
     "condition_else": 'Must validate "else" as "if" was not valid',
 }
 
-_FIELD_RX = re.compile(r"\{(\w+)\}")
+_FIELD_RX = re.compile(r"\{(\w+(?:\s*\|\s*\w+)*)\}")
+
+# User-registered template helper funcs for custom locales, mirroring the
+# reference's package-level ErrorTemplateFuncs FuncMap (schema.go:44-45,
+# errors.go:344-351; README example: '{{allcaps .field}}'). Python
+# syntax: '{field|allcaps}' pipes the rendered detail through the helper.
+ERROR_TEMPLATE_FUNCS: dict = {}
+
+
+def set_error_template_funcs(funcs: dict) -> None:
+    """Register (replace) the helper-function map used by message
+    templates, like assigning gojsonschema.ErrorTemplateFuncs."""
+    ERROR_TEMPLATE_FUNCS.clear()
+    ERROR_TEMPLATE_FUNCS.update(funcs)
 
 
 def set_locale(overrides: dict) -> None:
@@ -119,9 +134,20 @@ class Violation:
         details.setdefault("field", self.field_path)
         details.setdefault("context", context_string(self.context))
         template = MESSAGES.get(self.error_type, self.error_type)
-        return _FIELD_RX.sub(
-            lambda m: _render_detail(details.get(m.group(1), "<no value>")),
-            template)
+
+        def expand(m):
+            parts = [p.strip() for p in m.group(1).split("|")]
+            out = _render_detail(details.get(parts[0], "<no value>"))
+            for fname in parts[1:]:
+                fn = ERROR_TEMPLATE_FUNCS.get(fname)
+                if fn is None:
+                    # like a missing func in a Go template: surface the
+                    # problem in the message rather than crash validation
+                    return f"<no template func {fname!r}>"
+                out = str(fn(out))
+            return out
+
+        return _FIELD_RX.sub(expand, template)
 
     def __str__(self) -> str:
         return f"{self.field_path}: {self.description()}"

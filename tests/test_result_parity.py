@@ -93,3 +93,25 @@ def test_fractional_bound_message_renders_as_float():
     msgs = sorted(str(e) for e in r.errors)
     assert msgs[0] == "n: Must be a multiple of 0.5"
     assert msgs[1] == "n: Must be greater than or equal to 1.5"
+
+
+def test_error_template_funcs():
+    """Custom locale + user template helper funcs (reference README
+    'allcaps' example; schema.go:44-45 ErrorTemplateFuncs)."""
+    from gojsonschema_spark.core.errors import set_error_template_funcs
+    original = MESSAGES["number_gte"]
+    try:
+        set_error_template_funcs({"allcaps": lambda s: s.upper()})
+        set_locale({"number_gte":
+                    "{field|allcaps} must be greater than or equal to {min}"})
+        schema = compile_schema({"properties": {"password": {"minimum": 8}}})
+        r = schema.validate({"password": 5})
+        assert str(r.errors[0]) == \
+            "password: PASSWORD must be greater than or equal to 8"
+        # unknown helper surfaces in the message instead of crashing
+        set_locale({"number_gte": "{field|nosuch} bad"})
+        r2 = schema.validate({"password": 5})
+        assert "<no template func 'nosuch'>" in str(r2.errors[0])
+    finally:
+        set_locale({"number_gte": original})
+        set_error_template_funcs({})
