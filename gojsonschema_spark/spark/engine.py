@@ -125,10 +125,21 @@ class SparkValidator:
 
     def violations_table(self, df: DataFrame, doc_col: str,
                          key_cols: list[str]) -> DataFrame:
-        """Exploded violations table: one row per (document, violation)."""
-        out = self.validate_json(df, doc_col)
-        return (out.filter(~F.col("valid"))
-                   .select(*key_cols, F.explode("violations").alias("v"))
+        """Exploded violations table: one row per (document, violation).
+
+        Pass 1 computes the pure-SQL valid bit; the Filter prunes valid
+        rows BEFORE the interpreter UDF node, so Arrow ships and Python
+        parses only the invalid subset — guaranteed by plan structure, not
+        by hoping the filter pushes through the Python-eval node."""
+        if self.column_plan is not None:
+            out = self.validate_json(df, doc_col, violations_col=None)
+            elaborate = make_violations_udf(self.compiled)
+            bad = (out.filter(~F.col("valid"))
+                      .withColumn("violations",
+                                  elaborate(F.col(doc_col), F.lit(False))))
+        else:
+            bad = self.validate_json(df, doc_col).filter(~F.col("valid"))
+        return (bad.select(*key_cols, F.explode("violations").alias("v"))
                    .select(*key_cols,
                            F.col("v.field").alias("field"),
                            F.col("v.keyword").alias("keyword"),

@@ -91,7 +91,12 @@ def make_verdict_udf(compiled: CompiledSchema, with_violations: bool = True):
             out_viol.append(viol)
         return pd.DataFrame({"valid": out_valid, "violations": out_viol})
 
-    return verdict
+    # semantically deterministic, but marked otherwise so Catalyst never
+    # DUPLICATES the eval: filters derived from downstream operators
+    # (InferFiltersFromGenerate's size(violations)>0, predicate pushdown
+    # through Project) would otherwise clone a second ArrowEvalPython
+    # below the valid-bit filter and run Python over the whole corpus
+    return verdict.asNondeterministic()
 
 
 def make_violations_udf(compiled: CompiledSchema):
@@ -117,4 +122,5 @@ def make_violations_udf(compiled: CompiledSchema):
     def violations(docs: pd.Series, valid: pd.Series) -> pd.Series:
         return pd.Series([run(d, v) for d, v in zip(docs, valid)])
 
-    return violations
+    # see make_verdict_udf: prevents Catalyst from cloning the eval node
+    return violations.asNondeterministic()

@@ -102,3 +102,22 @@ def test_drift_single_scan_per_side(spark, pages_path):
     plan = _plan(out)
     n_scans = sum(1 for l in plan.splitlines() if "FileScan parquet" in l)
     assert n_scans == 2, f"expected 1 scan per side, plan has {n_scans}"
+
+
+def test_violations_table_filters_before_python(spark, pages_path):
+    """violations_table must place the valid-bit Filter BELOW the
+    interpreter-UDF node: Python parses only the invalid subset."""
+    pages = spark.read.parquet(pages_path)
+    docs = pages.select(webpage_doc_column().alias("doc"))
+    v = SparkValidator({"type": "object", "required": ["url"],
+                        "properties": {"lang": {"pattern": "^[a-z]{2}$"}}})
+    plan = _plan(v.violations_table(docs, "doc", []))
+    lines = plan.splitlines()
+    py = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    # exactly ONE Python eval: Catalyst must not clone the UDF below the
+    # valid filter (InferFiltersFromGenerate + pushdown used to)
+    assert len(py) == 1, plan
+    # toString prints parents first: the valid-bit Filter (the expanded
+    # __gjs_v predicate) must appear BELOW the Python node
+    below = [l for l in lines[py[0] + 1:] if "Filter" in l and "__gjs_v" in l]
+    assert below, "no valid-bit Filter below the Python node:\n" + plan
