@@ -129,25 +129,30 @@ def _pairs_of(arr_col: str) -> Column:
 
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash: per token, xxhash64 -> for each bit position accumulate
-    +1/-1; sign vector packs into a bigint. Pure expressions."""
+    +1/-1; sign vector packs into a bigint. Pure expressions.
+
+    Single-pass formulation: ONE aggregate over the token hashes carrying
+    an array<long> of per-bit vote counters (the naive per-bit version —
+    ``bits`` separate aggregate lanes — rescans the token array bits
+    times; this scans it once with an inner zip over the mask array)."""
     toks = tokenize(normalize_text(text))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    masks_arr = F.array(*[F.lit(m) for m in masks])
 
-    def vote_fn(mask: int):
-        # closure factory: a default-arg lambda would be mis-read by
-        # pyspark's HOF arity inspection as a 3-arg (acc, x, i) lambda
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
-
-    bit_cols = []
-    for b in range(bits):
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        vote = F.aggregate(hashes, F.lit(0), vote_fn(mask))
-        bit_cols.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(mask))
-    out = F.lit(0)
-    for c in bit_cols:
-        out = out + c
-    return out.cast("long")
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks_arr,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1))
+                            .otherwise(F.lit(-1))))
+    packed = F.aggregate(
+        F.zip_with(votes, masks_arr,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x)
+    return packed.cast("long")
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
