@@ -245,8 +245,11 @@ Methodology (all measured on this VM):
   memory bandwidth. String/variant-heavy validation is
   bandwidth-sensitive, so single-box numbers understate real scaling.
 * Best-of-5 per config inside ONE session after a warm-up job (first
-  execution pays JVM JIT + codegen, up to 20x the steady-state cost;
-  session reuse amortizes the fixed per-job scheduling cost).
+  execution pays JVM JIT + codegen, up to 20x the steady-state cost).
+  Each rep rebuilds the DataFrame: re-collecting a single Dataset would
+  let Spark silently reuse its materialized shuffle stages and skip the
+  scan, 'measuring' a no-op; the ~0.9s/rep of driver-side plan
+  compilation this costs is <4% of even the 4N wall time.
 
 Per-query timings (sec):
 
