@@ -94,8 +94,12 @@ def bench_queries(spark) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    # warm-up: tiny job to absorb JVM/codegen startup
+    # warm-up: tiny jobs to absorb JVM/codegen startup AND spin up the
+    # Python worker pool + Arrow lanes (first UDF execution otherwise
+    # costs the pool launch; measured 2 full reps of warm-up without it)
     docs.limit(10).count()
+    warm = docs.limit(2000)
+    v.violations_table(warm, "doc", []).groupBy("keyword").count().collect()
 
     run("validate_pages_sql", lambda: v.validate_json(docs, "doc", violations_col=None)
         .agg(F.count(F.lit(1)), F.sum(F.col("valid").cast("int"))).collect())
