@@ -376,6 +376,17 @@ def q_ann_cosine_topk(spark, sf_dir):
     return sim.brute_force_topk(e, qvec, k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with n_probe == n_centroids (exhaustive probing): the
+    result must equal exact cosine top-k, so the brute-force SQL is a
+    true oracle for the whole IVF pipeline (train -> assign -> probe)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cents = sim.ivf_train(e, n_centroids=8, iters=1)
+    return sim.ivf_topk(e, cents, qvec, k=10, n_probe=8)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     # oracle omitted (not SQL-expressible) -> driver rows-only check
     return dd.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), num_hashes=32,
@@ -507,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_top_orders": q_join_top_orders,
         "window_user_gaps": q_window_user_gaps,
@@ -647,6 +659,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) /
+                         (greatest(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 1e-12) *
+                          greatest(sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))), 1e-12)), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_ivf_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
                    round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) /

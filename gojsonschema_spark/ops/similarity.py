@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["cosine_to_query", "brute_force_topk", "hyperplane_signature",
-           "lsh_bucketed_topk"]
+           "lsh_bucketed_topk", "ivf_train", "ivf_assign", "ivf_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -57,6 +57,76 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
         bit = F.when(_dot(v, pl) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         out = out + bit * F.lit(1 << i).cast("long")
     return out
+
+
+# --- IVF (inverted-file) ANN: the second scale path -------------------------
+#
+# Coarse k-means quantizer; vectors assign to their nearest centroid cell
+# and queries probe only the n_probe nearest cells. At 10^12 rows the
+# assignment is written once as a partition column (partition pruning then
+# makes a probe read n_probe/k of the table); here the index build is two
+# Lloyd iterations expressed as Spark aggregations — only the k x d
+# centroid matrix ever reaches the driver.
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding",
+               cell_col: str = "ivf_cell") -> DataFrame:
+    """Nearest-centroid cell id per row (argmin over the centroid array);
+    pure codegen expressions, no Python."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_sq_dist(v, F.lit(c).cast("array<double>"))
+                      for c in centroids])
+    cid = F.array_position(dists, F.array_min(dists)) - 1
+    return df.withColumn(cell_col, cid.cast("int"))
+
+
+def ivf_train(df: DataFrame, n_centroids: int = 16, iters: int = 2,
+              vec_col: str = "embedding",
+              key_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic coarse quantizer: seed with the first n_centroids
+    vectors by key order, then ``iters`` Lloyd steps (assign = argmin
+    expression; update = per-(cell, dim) avg after posexplode). Each step
+    is one shuffle of (cell, dim, val) triples; only k x d averages are
+    collected."""
+    seeds = df.orderBy(key_col).limit(n_centroids).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col)
+        rows = (assigned
+                .select("ivf_cell",
+                        F.posexplode(F.col(vec_col).cast("array<double>"))
+                         .alias("pos", "val"))
+                .groupBy("ivf_cell", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r.ivf_cell, {})[r.pos] = r.m
+        centroids = [
+            [by_cell[c][p] for p in sorted(by_cell[c])]
+            if c in by_cell else centroids[c]
+            for c in range(n_centroids)
+        ]
+    return centroids
+
+
+def ivf_topk(df: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, n_probe: int = 4,
+             vec_col: str = "embedding", key_col: str = "vec_id",
+             round_to: int = 6) -> DataFrame:
+    """ANN top-k: probe the n_probe cells nearest the query (ranked on the
+    driver over the tiny centroid matrix), exact cosine within them."""
+    d = [sum((a - b) * (a - b) for a, b in zip(query_vec, c))
+         for c in centroids]
+    probes = sorted(range(len(centroids)), key=lambda i: d[i])[:n_probe]
+    cand = (ivf_assign(df, centroids, vec_col)
+            .filter(F.col("ivf_cell").isin(probes)))
+    return brute_force_topk(cand, query_vec, k, vec_col, key_col, round_to)
 
 
 def lsh_bucketed_topk(df: DataFrame, query_vec: list[float], planes: list[list[float]],

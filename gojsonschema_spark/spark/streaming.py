@@ -18,10 +18,12 @@ Typical use::
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
+                               TimestampType)
 
 from .engine import SparkValidator
 
-__all__ = ["validate_stream", "windowed_invalid_rate"]
+__all__ = ["validate_stream", "windowed_invalid_rate", "sessionize_stream"]
 
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
@@ -33,6 +35,75 @@ def validate_stream(stream_df: DataFrame, validator: SparkValidator,
                                        violations_col=None)
     v = F.try_parse_json(F.col(doc_col))
     return stream_df.withColumn(valid_col, validator.column_plan(v))
+
+
+def sessionize_stream(df: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", gap_sec: float = 1800.0) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    groups a keyed event stream into sessions closed after ``gap_sec`` of
+    inactivity. Emits one row per CLOSED session — either when a later
+    event in the same group exceeds the gap, or when the processing-time
+    timeout fires for an idle group. State per key is three scalars
+    (start, last, count): bounded regardless of session length, so a
+    degenerate key (bot traffic) cannot grow executor state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("start", DoubleType()),
+        StructField("last", DoubleType()),
+        StructField("n", LongType()),
+    ])
+    gap = float(gap_sec)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def session_row(start, last, n):
+            return pd.DataFrame({
+                key_col: [key[0]],
+                "session_start": [pd.Timestamp(start, unit="s")],
+                "session_end": [pd.Timestamp(last, unit="s")],
+                "n_events": [n],
+            })
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield session_row(start, last, n)
+            return
+
+        rows = pd.concat(list(pdfs))
+        ts = (rows[ts_col].astype("int64") / 1e9).sort_values()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in ts:
+            if last is not None and t - last > gap:
+                closed.append((start, last, n))
+                start, n = None, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((float(start), float(last), int(n)))
+        state.setTimeoutDuration(int(gap * 1000))
+        for s in closed:
+            yield session_row(*s)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout)
 
 
 def windowed_invalid_rate(validated: DataFrame, ts_col: str,

@@ -113,6 +113,27 @@ def test_similarity_topk(spark):
     assert btop[0].vec_id == 0
 
 
+def test_similarity_ivf(spark):
+    """IVF: deterministic 2-cluster corpus — training separates the
+    clusters, probing 1 cell finds the in-cluster neighbors, and recall
+    vs brute force is exact for an in-cell query."""
+    rows = [Row(vec_id=i, embedding=[1.0 + 0.01 * i, 0.0, 0.0, 0.0])
+            for i in range(10)]
+    rows += [Row(vec_id=100 + i, embedding=[0.0, 1.0 + 0.01 * i, 0.0, 0.0])
+             for i in range(10)]
+    df = spark.createDataFrame(rows)
+    cents = sim.ivf_train(df, n_centroids=2, iters=2)
+    assert len(cents) == 2 and len(cents[0]) == 4
+    # the two centroids land on the two axis clusters
+    axes = sorted((max(range(4), key=lambda d: abs(c[d]))) for c in cents)
+    assert axes == [0, 1]
+    q = [1.0, 0.0, 0.0, 0.0]
+    got = sim.ivf_topk(df, cents, q, k=5, n_probe=1).collect()
+    want = sim.brute_force_topk(df.filter(F.col("vec_id") < 100), q, k=5).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    assert all(r.vec_id < 100 for r in got)  # only the probed cell scanned
+
+
 def test_multimodal_features(spark):
     df = spark.createDataFrame(
         [("a", bytearray(b"payload-1")), ("b", bytearray(b"payload-2"))],

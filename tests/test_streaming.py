@@ -61,3 +61,48 @@ def test_windowed_invalid_rate_builds(spark):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_sessionize_stream(spark, tmp_path):
+    """Stateful sessionization: in-batch gaps close sessions; the still-open
+    tail session stays in state (not emitted)."""
+    from gojsonschema_spark.spark.streaming import sessionize_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # user 1: two sessions split by a 2h gap; user 2: one open session
+    events = [
+        {"user_id": 1, "ts": "2024-06-01T10:00:00"},
+        {"user_id": 1, "ts": "2024-06-01T10:05:00"},
+        {"user_id": 1, "ts": "2024-06-01T13:00:00"},
+        {"user_id": 2, "ts": "2024-06-01T09:00:00"},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    schema = StructType([StructField("user_id", StringType()),
+                         StructField("ts", StringType())])
+    stream = (spark.readStream.schema(schema).json(str(src))
+              .select(F.col("user_id").cast("long").alias("user_id"),
+                      F.col("ts").cast("timestamp").alias("ts")))
+    out = sessionize_stream(stream, "user_id", "ts", gap_sec=1800)
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").start())
+    try:
+        # NB: processAllAvailable() never settles here — the processing-time
+        # timeout schedules continuous state-cleanup batches. Poll instead.
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("select * from sessions").collect()
+            if rows:
+                break
+            time.sleep(1)
+        # exactly ONE closed session: user 1's 10:00-10:05 pair
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.user_id == 1 and r.n_events == 2
+        assert r.session_start.minute == 0 and r.session_end.minute == 5
+    finally:
+        q.stop()
