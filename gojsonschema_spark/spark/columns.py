@@ -200,6 +200,9 @@ class ColumnPlanCompiler:
         self._hof_depth = 0  # >0: pred will run inside a HOF lambda -> SQL-only
         self._nodes = 0
         self._frontier_hit = False
+        self._ui_frontier_nodes: set[int] = set()  # composite-uniqueItems sites
+        self._fmt_frontier_nodes: dict[int, str] = {}  # UDF-format-in-HOF sites
+        self._pn_frontier_nodes: set[int] = set()  # UDF-format propertyNames
         self.frontier_plan = None  # set by compile() when a frontier exists
 
     def compile(self):
@@ -272,7 +275,7 @@ class ColumnPlanCompiler:
         parts.extend(self._array_keywords(node))
         parts.extend(self._object_keywords(node))
         if node.format:
-            parts.append(self._format_check(node.format))
+            parts.append(self._format_check(node))
 
         def pred(v: Column) -> Column:
             return _all([p(v) for p in parts])
@@ -305,6 +308,23 @@ class ColumnPlanCompiler:
         def add(d):
             if d is not None:
                 dets.append(d)
+
+        if id(node) in self._ui_frontier_nodes:
+            def ui_det(v):
+                arr = _arr(v)
+                return arr.isNotNull() & _nn(F.exists(
+                    arr, lambda x: _mp(x).isNotNull() | _arr(x).isNotNull()))
+
+            add(ui_det)
+
+        fmt_kind = self._fmt_frontier_nodes.get(id(node))
+        if fmt_kind == "string":
+            add(lambda v: _is_string(v))
+        elif fmt_kind == "any":
+            add(lambda v: F.lit(True))
+
+        if id(node) in self._pn_frontier_nodes:
+            add(lambda v: _mp(v).isNotNull() & _nn(F.size(_mp(v)) > 0))
 
         for sub in list(node.any_of) + list(node.all_of) + list(node.one_of):
             add(self._det_node(sub))
@@ -508,9 +528,53 @@ class ColumnPlanCompiler:
     # -- const / enum ----------------------------------------------------------
 
     def _scalar_literal_pred(self, canon: str):
-        """Return fn(v, t)->Column testing canonical equality with one scalar.
+        """Return fn(v)->Column testing canonical equality with one value.
 
-        canon is the canonical JSON string of the allowed value."""
+        canon is the canonical JSON string of the allowed value. Composite
+        values (objects/arrays) compile to an exact recursive structural
+        predicate — the literal is fully known at compile time, so
+        key-order-insensitive canonical equality IS SQL-expressible here
+        (unlike uniqueItems, where both sides are runtime values)."""
+        if canon[:1] in "[{":
+            from ..core.jsonvalue import Num, parse_json as _parse_lex
+
+            def build(val):
+                if val is None:
+                    return lambda v: _is_null(v)
+                if isinstance(val, bool):
+                    want = "t" if val else "f"
+                    return lambda v: _nn(_fc(v) == want)
+                if isinstance(val, str):
+                    return lambda v, s=val: _is_string(v) & _nn(
+                        F.try_variant_get(v, "$", "string") == F.lit(s))
+                if isinstance(val, Num):
+                    return lambda v, fr=val.frac: _is_number(v) & self._num_eq(v, fr)
+                if isinstance(val, list):
+                    subs = [build(x) for x in val]
+
+                    def arr_pred(v, subs=subs):
+                        arr = _arr(v)
+                        conds = [arr.isNotNull(),
+                                 _nn(F.size(arr) == len(subs))]
+                        for i, s in enumerate(subs):
+                            conds.append(_nn(s(F.element_at(arr, i + 1))))
+                        return _all(conds)
+
+                    return arr_pred
+                # dict: size match + per-key recursive equality (order-free)
+                items = [(k, build(x)) for k, x in val.items()]
+
+                def obj_pred(v, items=items, n=len(val)):
+                    mp = _mp(v)
+                    conds = [mp.isNotNull(), _nn(F.size(mp) == n)]
+                    for k, s in items:
+                        e = F.element_at(mp, F.lit(k))
+                        conds.append(e.isNotNull() & _nn(s(e)))
+                    return _all(conds)
+
+                return obj_pred
+
+            return build(_parse_lex(canon))
         if canon == "null":
             return lambda v: _is_null(v)
         if canon in ("true", "false"):
@@ -525,7 +589,7 @@ class ColumnPlanCompiler:
         try:
             frac = Fraction(canon)
         except ValueError:
-            raise UnsupportedSchema(f"non-scalar const/enum value {canon!r}")
+            raise UnsupportedSchema(f"unparseable const/enum value {canon!r}")
         return lambda v: _is_number(v) & self._num_eq(v, frac)
 
     def _num_eq(self, v: Column, frac: Fraction) -> Column:
@@ -693,9 +757,13 @@ class ColumnPlanCompiler:
                         and all(_guarantees_scalar(c) for c in node.items_children)
                         and node.additional_items is False)
             if not (single_ok or tuple_ok):
-                raise UnsupportedSchema(
-                    "uniqueItems over possibly-composite elements "
-                    "(route to interpreter)")
+                # composite elements possible: the scalar-key compare below
+                # stays exact for scalar-only arrays; rows whose array holds
+                # an object/array element route to the exact interpreter via
+                # the reach detector (canonical equality on composites is
+                # key-order-insensitive — not SQL-expressible)
+                self._frontier_hit = True
+                self._ui_frontier_nodes.add(id(node))
 
             def unique(v):
                 arr = _arr(v)
@@ -790,9 +858,18 @@ class ColumnPlanCompiler:
                 parts.append(addl)
 
         if node.property_names is not None:
-            sub = self._string_instance_pred(node.property_names)
-            parts.append(lambda v, sub=sub: guard(
-                v, _nn(F.forall(F.map_keys(_mp(v)), lambda k: sub(k)))))
+            try:
+                sub = self._string_instance_pred(node.property_names)
+            except UnsupportedSchema:
+                # UDF/custom format inside propertyNames: hybrid — any
+                # object carrying at least one key routes to the exact
+                # interpreter via the reach detector
+                self._frontier_hit = True
+                self._pn_frontier_nodes.add(id(node))
+                sub = None
+            if sub is not None:
+                parts.append(lambda v, sub=sub: guard(
+                    v, _nn(F.forall(F.map_keys(_mp(v)), lambda k: sub(k)))))
 
         return parts
 
@@ -811,15 +888,69 @@ class ColumnPlanCompiler:
                 return self._string_instance_pred(node.ref_schema)
             finally:
                 self._stack.pop()
-        unsupported = (node.any_of or node.one_of or node.all_of or node.not_
-                       or node.if_ or node.const_ is not None or node.enum
-                       or node.format or node.properties_children
-                       or node.minimum is not None or node.maximum is not None)
-        if unsupported:
-            raise UnsupportedSchema("complex propertyNames (route to interpreter)")
         conds = []
+        # the instance is always a STRING (a property name): object/array/
+        # number keywords are vacuous on it, so only string-applicable
+        # keywords and combinators constrain the verdict
         if node.types and "string" not in node.types:
             return lambda s: F.lit(False)
+        if node.const_ is not None:
+            if node.const_.startswith('"'):
+                import json as _json
+                val = _json.loads(node.const_)
+                conds.append(lambda s, val=val: s == F.lit(val))
+            else:
+                return lambda s: F.lit(False)  # non-string const never matches
+        if node.enum:
+            import json as _json
+            strs = [_json.loads(c) for c in node.enum if c.startswith('"')]
+            if not strs:
+                return lambda s: F.lit(False)
+            conds.append(lambda s, strs=tuple(strs): s.isin(*strs))
+        if node.any_of:
+            subs = [self._string_instance_pred(x) for x in node.any_of]
+            conds.append(lambda s, subs=subs:
+                         F.greatest(*[p(s) for p in subs])
+                         if len(subs) > 1 else subs[0](s))
+        if node.all_of:
+            subs = [self._string_instance_pred(x) for x in node.all_of]
+            conds.append(lambda s, subs=subs: _all([p(s) for p in subs]))
+        if node.one_of:
+            subs = [self._string_instance_pred(x) for x in node.one_of]
+
+            def one(s, subs=subs):
+                total = None
+                for p in subs:
+                    c = _nn(p(s)).cast("int")
+                    total = c if total is None else total + c
+                return total == 1
+
+            conds.append(one)
+        if node.not_ is not None:
+            sub = self._string_instance_pred(node.not_)
+            conds.append(lambda s, sub=sub: ~_nn(sub(s)))
+        if node.if_ is not None:
+            p_if = self._string_instance_pred(node.if_)
+            p_then = (self._string_instance_pred(node.then_)
+                      if node.then_ is not None else None)
+            p_else = (self._string_instance_pred(node.else_)
+                      if node.else_ is not None else None)
+
+            def ite(s, p_if=p_if, p_then=p_then, p_else=p_else):
+                t = p_then(s) if p_then is not None else _true()
+                e = p_else(s) if p_else is not None else _true()
+                return F.when(_nn(p_if(s)), t).otherwise(e)
+
+            conds.append(ite)
+        if node.format:
+            from .format_columns import format_column_pred
+
+            pred, is_sql, is_custom = format_column_pred(
+                node.format, self.compiled.formats)
+            if is_custom or not is_sql:
+                raise UnsupportedSchema(
+                    "UDF/custom format in propertyNames (route to interpreter)")
+            conds.append(lambda s, pred=pred: pred(s))
         if node.min_length is not None:
             n = node.min_length
             conds.append(lambda s, n=n: F.length(s) >= n)
@@ -831,12 +962,19 @@ class ColumnPlanCompiler:
             conds.append(lambda s, jp=jp: s.rlike(jp))
         return lambda s: _all([c(s) for c in conds])
 
-    def _format_check(self, name: str):
+    def _format_check(self, node: SubSchema):
         from .format_columns import format_column_pred
 
+        name = node.format
         pred, is_sql, is_custom = format_column_pred(name, self.compiled.formats)
         if self._hof_depth > 0 and not is_sql:
-            raise UnsupportedSchema(f"format {name!r} needs the interpreter/UDF path")
+            # a Python UDF can't run inside a HOF lambda: go hybrid — rows
+            # whose value actually occupies this position (a string for
+            # builtin parser formats, any value for custom checkers) are
+            # re-verdicted by the exact interpreter via the reach detector
+            self._frontier_hit = True
+            self._fmt_frontier_nodes[id(node)] = "any" if is_custom else "string"
+            return lambda v: F.lit(True)
 
         if is_custom:
             # user-registered checker: sees the decoded value of ANY JSON

@@ -44,14 +44,22 @@ class SparkValidator:
         self.frontier_plan = None
         self.unsupported_reason = None
         if not force_udf:
-            try:
-                cc = ColumnPlanCompiler(self.compiled)
-                self.column_plan = cc.compile()
-                # non-None for depth-unrolled cyclic $refs: rows nesting
-                # past the unroll are re-verdicted by the interpreter
-                self.frontier_plan = cc.frontier_plan
-            except UnsupportedSchema as e:
-                self.unsupported_reason = str(e)
+            # depth-3 unroll first; ref-dense schemas (meta-schema style)
+            # whose unrolled plan explodes past the node cap retry at
+            # depth 1 — shallower SQL coverage, more rows to the frontier
+            for depth in (3, 1):
+                try:
+                    cc = ColumnPlanCompiler(self.compiled, max_ref_depth=depth)
+                    self.column_plan = cc.compile()
+                    # non-None for depth-unrolled cyclic $refs: rows nesting
+                    # past the unroll are re-verdicted by the interpreter
+                    self.frontier_plan = cc.frontier_plan
+                    self.unsupported_reason = None
+                    break
+                except UnsupportedSchema as e:
+                    self.unsupported_reason = str(e)
+                    if "exceeds" not in str(e):
+                        break
 
     @property
     def uses_column_plan(self) -> bool:

@@ -83,12 +83,39 @@ def test_column_plan_differential_vs_suite(spark):
 
 def test_udf_fallback_full_parity(spark):
     """Schemas without a column plan run on the interpreter UDF — spot-check
-    a uniqueItems-on-composites schema end to end on Spark."""
-    u = SparkValidator({"uniqueItems": True})
+    a bignum-exact multipleOf schema end to end on Spark."""
+    u = SparkValidator({"multipleOf": 1e-30})
     assert not u.uses_column_plan
-    df = spark.createDataFrame([('[1, 1.0]',), ('[1, true]',), ('[{"a":1},{"a":1.0}]',)], ["doc"])
+    df = spark.createDataFrame([('3e-30',), ('1.5e-30',), ('"s"',)], ["doc"])
     got = [r.valid for r in u.validate_json(df, "doc").collect()]
-    assert got == [False, True, False]
+    assert got == [True, False, True]
+
+
+def test_unique_items_composite_hybrid(spark):
+    """Bare uniqueItems (no typed items) compiles to the HYBRID plan:
+    scalar-only arrays are judged in SQL, arrays holding an object/array
+    element route to the exact interpreter (key-order-insensitive
+    canonical equality, reference validation.go:530-547)."""
+    u = SparkValidator({"uniqueItems": True})
+    assert u.uses_column_plan
+    assert u.frontier_plan is not None
+    docs = ['[1, 1.0]',                      # scalar dup -> SQL
+            '[1, true]',                     # scalar unique -> SQL
+            '[{"a":1},{"a":1.0}]',           # composite dup -> interpreter
+            '[{"a":1,"b":2},{"b":2,"a":1}]',  # key-order dup -> interpreter
+            '[[1],[1.0]]',                   # nested-array dup -> interpreter
+            '[{"a":1},{"a":2}]',             # composite unique
+            '"not an array"']
+    expect = [False, True, False, False, False, True, True]
+    df = spark.createDataFrame([(d,) for d in docs], ["doc"])
+    got = [r.valid for r in u.validate_json(df, "doc").collect()]
+    assert got == expect
+    fu = SparkValidator({"uniqueItems": True}, force_udf=True)
+    assert [r.valid for r in fu.validate_json(df, "doc").collect()] == expect
+    # detector fires exactly for the container-bearing arrays
+    deep = [r.d for r in df.select(
+        u.frontier_plan(F.try_parse_json("doc")).alias("d")).collect()]
+    assert deep == [False, False, True, True, True, True, False]
 
 
 def test_cyclic_ref_depth_unroll_hybrid(spark):
@@ -183,9 +210,9 @@ def test_unique_items_sql_path(spark):
     assert got_col == got_udf == [False, False, True, True, True,
                                   False, False, True]
 
-    # composite elements still route to the interpreter
+    # without a scalar guarantee the plan goes hybrid (frontier detector)
     w = SparkValidator({"uniqueItems": True})
-    assert not w.uses_column_plan
+    assert w.uses_column_plan and w.frontier_plan is not None
 
 
 def test_custom_format_checker_both_paths(spark):
