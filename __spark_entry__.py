@@ -336,6 +336,20 @@ def q_drift_lang_kl(spark, sf_dir):
                                    d.filter(F.col("doc_id") > half), "lang")
 
 
+def q_drift_nchars_hist(spark, sf_dir):
+    """KL drift over a NUMERIC column via fixed-width histogram buckets."""
+    d = _t(spark, sf_dir, "documents")
+    half = d.agg(F.max("doc_id")).collect()[0][0] // 2
+    return dc.histogram_drift_kl(d.filter(F.col("doc_id") <= half),
+                                 d.filter(F.col("doc_id") > half),
+                                 "n_chars", bucket_width=100.0)
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.language_id(F.col("text")).alias("lang_guess"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops
 # ---------------------------------------------------------------------------
@@ -513,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_events_user": q_uniqueness_events_user,
         "referential_orphans": q_referential_orphans,
         "drift_lang_kl": q_drift_lang_kl,
+        "drift_nchars_hist": q_drift_nchars_hist,
+        "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -625,6 +641,48 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents, half WHERE doc_id > h GROUP BY lang)
             SELECT round(sum(p.p * ln(p.p / q.q)), 6) AS kl_divergence
             FROM p JOIN q USING (lang)
+        """,
+        "drift_nchars_hist": """
+            WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+            p AS (SELECT floor(n_chars / 100) AS bucket, count(*) * 1.0 /
+                      (SELECT count(*) FROM documents, half WHERE doc_id <= h) AS p
+                  FROM documents, half WHERE doc_id <= h GROUP BY 1),
+            q AS (SELECT floor(n_chars / 100) AS bucket, count(*) * 1.0 /
+                      (SELECT count(*) FROM documents, half WHERE doc_id > h) AS q
+                  FROM documents, half WHERE doc_id > h GROUP BY 1)
+            SELECT round(sum(p.p * ln(p.p / q.q)), 6) AS kl_divergence
+            FROM p JOIN q USING (bucket)
+        """,
+        "lang_id": """
+            WITH s AS (
+                SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+            ), c AS (
+                SELECT doc_id,
+                    CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INT)
+                  + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INT)
+                  + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INT) AS s_en,
+                    CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INT)
+                  + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INT)
+                  + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS s_de,
+                    CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INT)
+                  + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INT)
+                  + CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS INT) AS s_fr,
+                    CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INT)
+                  + CAST((length(p) - length(replace(p, ' y ', ''))) / 3 AS INT)
+                  + CAST((length(p) - length(replace(p, ' los ', ''))) / 5 AS INT) AS s_es,
+                    CAST(length(p) - length(replace(p, '的', '')) AS INT)
+                  + CAST(length(p) - length(replace(p, '了', '')) AS INT)
+                  + CAST(length(p) - length(replace(p, '是', '')) AS INT) AS s_zh
+                FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'und'
+                        WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                        WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                        WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                        WHEN s_es >= s_zh THEN 'es'
+                        ELSE 'zh' END AS lang_guess
+            FROM c
         """,
         "dedup_exact": """
             WITH corpus AS (

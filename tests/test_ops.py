@@ -157,3 +157,18 @@ def test_webpages_generator_deterministic(spark):
     assert [r.text for r in a] == [r.text for r in b]
     assert any(r.url.startswith("::not a uri") for r in a)  # malformed share
     assert len({r.url for r in a}) < 200  # duplicate share
+
+
+def test_tables_adapter_parquet_roundtrip(spark, tmp_path):
+    from gojsonschema_spark.io.tables import read_pages, write_pages
+    from gojsonschema_spark.ops.webpages import generate_webpages
+
+    path = str(tmp_path / "pages.parquet")
+    write_pages(generate_webpages(spark, 200, partitions=2), path)
+    back = read_pages(spark, path)
+    assert back.count() == 200
+    # bucket restriction prunes partitions at the scan
+    one = read_pages(spark, path, buckets=["2024-06-01"])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() < 200
+    assert "PartitionFilters" in plan
