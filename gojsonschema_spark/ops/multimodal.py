@@ -18,7 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "extract_features",
-           "stub_decoder"]
+           "resize_images", "sample_frames", "stub_decoder",
+           "stub_resizer", "stub_frame_sampler"]
 
 MEDIA_SCHEMA = ("payload binary, media_type string, width int, height int, "
                 "duration_ms int")
@@ -75,3 +76,86 @@ def extract_features(df: DataFrame, key_col: str = "key",
             })
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "key string, payload binary, width int, height int"
+FRAMES_SCHEMA = "key string, frame_idx int, frame binary, ts_ms int"
+
+
+def stub_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: real codecs are unavailable in this
+    container — production injects a PIL/libvips-backed callable with the
+    same (payload, w, h) -> bytes signature. The fake keeps output length
+    proportional to the target area so batch-size behavior is realistic."""
+    if payload is None:
+        raise ValueError("cannot resize null payload")
+    seed = hashlib.md5(payload + f"{width}x{height}".encode()).digest()
+    reps = max(1, (width * height) // max(len(seed), 1))
+    return (seed * reps)[: width * height]
+
+
+def stub_frame_sampler(payload: bytes, every_ms: int) -> list[tuple[int, bytes, int]]:
+    """Deterministic fake video frame sampler: yields (idx, frame, ts_ms)
+    triples; production injects a libav-backed callable."""
+    if payload is None:
+        raise ValueError("cannot sample null payload")
+    n = max(1, min(8, len(payload) // 4))
+    out = []
+    for i in range(n):
+        frame = hashlib.md5(payload + bytes([i])).digest()
+        out.append((i, frame, i * every_ms))
+    return out
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  key_col: str = "key", payload_col: str = "payload",
+                  resizer: Callable[[bytes, int, int], bytes] = stub_resizer
+                  ) -> DataFrame:
+    """Arrow-batched image resize over binary payloads (mapInPandas).
+
+    Corrupt payloads yield payload=NULL (poison-pill guard); the output
+    schema carries the target dimensions so downstream stages can verify
+    shape without decoding."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[payload_col]:
+                try:
+                    payloads.append(resizer(bytes(payload), width, height))
+                except Exception:
+                    payloads.append(None)
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype(str),
+                "payload": payloads,
+                "width": width,
+                "height": height,
+            })
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  key_col: str = "key", payload_col: str = "payload",
+                  sampler: Callable = stub_frame_sampler) -> DataFrame:
+    """Frame sampling for video payloads: one output ROW per sampled frame
+    (mapInPandas can change cardinality — no explode of a giant in-memory
+    array; frames stream out batch by batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, idxs, frames, tss = [], [], [], []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                try:
+                    triples = sampler(bytes(payload), every_ms)
+                except Exception:
+                    triples = [(0, None, 0)]
+                for i, frame, ts in triples:
+                    keys.append(str(key))
+                    idxs.append(i)
+                    frames.append(frame)
+                    tss.append(ts)
+            yield pd.DataFrame({"key": keys, "frame_idx": idxs,
+                                "frame": frames, "ts_ms": tss})
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -172,3 +172,23 @@ def test_tables_adapter_parquet_roundtrip(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert one.count() < 200
     assert "PartitionFilters" in plan
+
+
+def test_multimodal_resize_and_frames(spark):
+    df = spark.createDataFrame(
+        [("a", bytearray(b"image-bytes-aaaa")), ("b", bytearray(b"vid-bbbb"))],
+        ["key", "payload"])
+    resized = mm.resize_images(df, 4, 3).collect()
+    by_key = {r.key: r for r in resized}
+    assert len(bytes(by_key["a"].payload)) == 12  # w*h fake payload
+    assert (by_key["a"].width, by_key["a"].height) == (4, 3)
+    # determinism
+    again = {r.key: bytes(r.payload) for r in mm.resize_images(df, 4, 3).collect()}
+    assert again == {r.key: bytes(r.payload) for r in resized}
+
+    frames = mm.sample_frames(df, every_ms=500).collect()
+    a_frames = [r for r in frames if r.key == "a"]
+    assert len(a_frames) >= 2  # cardinality change: >1 row per input
+    assert [r.frame_idx for r in sorted(a_frames, key=lambda r: r.frame_idx)] \
+        == list(range(len(a_frames)))
+    assert all(r.ts_ms == r.frame_idx * 500 for r in a_frames)
