@@ -1,0 +1,58 @@
+"""Explicit skew handling for hot-key aggregations.
+
+AQE's skew-join splitting covers joins; for groupBy aggregations over a
+Zipf-ish key (host names in a web corpus: a handful of domains carry a
+double-digit share of pages) the classic fix is SALTING — two-stage
+aggregation where stage 1 fans each hot key out across ``n_salts``
+reducers and stage 2 combines the per-salt partials. Spark already does
+map-side partial aggregation for algebraic aggregates, which removes most
+skew pressure; salting matters when the per-key state is NOT tiny
+(collect_list/collect_set-style) or when a single reducer key still
+dominates the shuffle read. These helpers make the pattern explicit and
+testable instead of implicit in AQE behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["with_salt", "salted_counts", "salted_collect_sample"]
+
+
+def with_salt(df: DataFrame, key: str, n_salts: int = 32,
+              salt_col: str = "__salt") -> DataFrame:
+    """Deterministic per-row salt in [0, n_salts): spreads one hot key
+    over n_salts reducers. Derived from the full row's hash via a
+    monotonically varying component (xxhash64 over all columns), not
+    rand(), so reruns shuffle identically (resumable jobs)."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+               F.lit(n_salts)).cast("int"))
+
+
+def salted_counts(df: DataFrame, key: str, n_salts: int = 32) -> DataFrame:
+    """Two-stage count per key: groupBy(key, salt) -> groupBy(key).
+
+    Stage 1's shuffle spreads each hot key across n_salts reducers; stage
+    2 combines at most n_salts rows per key."""
+    salted = with_salt(df, key, n_salts)
+    partial = (salted.groupBy(key, "__salt")
+                     .agg(F.count(F.lit(1)).alias("__n")))
+    return partial.groupBy(key).agg(F.sum("__n").alias("n"))
+
+
+def salted_collect_sample(df: DataFrame, key: str, value: str,
+                          per_key: int = 16, n_salts: int = 32) -> DataFrame:
+    """Bounded per-key exemplar list under skew: each salt lane keeps at
+    most ``per_key`` values (slice inside the lane), the combine step
+    merges lanes and slices again — no reducer ever holds more than
+    n_salts * per_key elements for even the hottest key."""
+    salted = with_salt(df, key, n_salts)
+    lane = (salted.groupBy(key, "__salt")
+                  .agg(F.slice(F.sort_array(F.collect_list(value)),
+                               1, per_key).alias("__vals")))
+    return (lane.groupBy(key)
+                .agg(F.slice(F.sort_array(F.flatten(F.collect_list("__vals"))),
+                             1, per_key).alias("sample"),
+                     F.count(F.lit(1)).alias("n_lanes")))

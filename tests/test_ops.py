@@ -192,3 +192,30 @@ def test_multimodal_resize_and_frames(spark):
     assert [r.frame_idx for r in sorted(a_frames, key=lambda r: r.frame_idx)] \
         == list(range(len(a_frames)))
     assert all(r.ts_ms == r.frame_idx * 500 for r in a_frames)
+
+
+def test_skew_salting(spark):
+    from gojsonschema_spark.ops import skew
+
+    # 10k rows of one hot key + a long tail
+    rows = [(i, "hot") for i in range(10000)] + \
+           [(i, f"k{i % 50}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    counts = {r.key: r.n for r in skew.salted_counts(df, "key", n_salts=8).collect()}
+    assert counts["hot"] == 10000
+    assert counts["k0"] == 10
+    # two-stage plan: two exchanges (salted partial + final combine)
+    plan = (skew.salted_counts(df, "key", n_salts=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") >= 2
+
+    samp = {r.key: r.sample for r in
+            skew.salted_collect_sample(df, "key", "id", per_key=5,
+                                       n_salts=8).collect()}
+    assert len(samp["hot"]) == 5   # bounded despite 10k members
+    assert samp["k1"] == sorted(samp["k1"])
+    # determinism (hash salt, not rand)
+    samp2 = {r.key: r.sample for r in
+             skew.salted_collect_sample(df, "key", "id", per_key=5,
+                                        n_salts=8).collect()}
+    assert samp == samp2
