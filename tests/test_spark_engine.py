@@ -81,6 +81,39 @@ def test_column_plan_differential_vs_suite(spark):
     assert not mismatches, f"{len(mismatches)} mismatches:\n" + "\n".join(mismatches[:40])
 
 
+def test_hybrid_schemas_end_to_end_vs_golden(spark):
+    """Every suite schema that compiles to a HYBRID plan (frontier
+    detector present) must reproduce the golden verdicts through the full
+    validate_json path — SQL for shallow rows, interpreter for rows the
+    detector routes past the frontier."""
+    from gojsonschema_spark.core.compiler import SchemaCompiler
+    from gojsonschema_spark.core.suite import (load_cases, reference_expected,
+                                               register_remotes)
+
+    n_hybrid = 0
+    mismatches = []
+    for draft, rel, schema, cases in load_cases(include_extra=True):
+        compiler = SchemaCompiler(draft=draft, auto_detect=True)
+        register_remotes(compiler)
+        try:
+            v = SparkValidator(schema, compiler=compiler)
+        except Exception:
+            continue
+        if not v.uses_column_plan or v.frontier_plan is None:
+            continue
+        n_hybrid += 1
+        rows = [(dump_lexical(c.data),
+                 reference_expected(draft, rel, c),
+                 f"{draft}/{rel}/{c.group}/{c.case}") for c in cases]
+        df = spark.createDataFrame(rows, ["doc", "expected", "label"])
+        out = v.validate_json(df, "doc", violations_col=None).collect()
+        for r in out:
+            if r.valid != r.expected:
+                mismatches.append(f"{r.label}: expected {r.expected}, got {r.valid}")
+    assert n_hybrid >= 10, f"hybrid plan count collapsed: {n_hybrid}"
+    assert not mismatches, "\n".join(mismatches[:40])
+
+
 def test_udf_fallback_full_parity(spark):
     """Schemas without a column plan run on the interpreter UDF — spot-check
     a bignum-exact multipleOf schema end to end on Spark."""
