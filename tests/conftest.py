@@ -20,6 +20,7 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.driver.extraJavaOptions", "-Xms8g -XX:+UseParallelGC")
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .getOrCreate()
     )
     session.sparkContext.setLogLevel("ERROR")

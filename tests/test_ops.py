@@ -219,3 +219,34 @@ def test_skew_salting(spark):
              skew.salted_collect_sample(df, "key", "id", per_key=5,
                                         n_salts=8).collect()}
     assert samp == samp2
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Co-bucketed tables join WITHOUT a shuffle: the scan provides the
+    hash partitioning, so the plan has no Exchange node on either side."""
+    from gojsonschema_spark.ops import bucketing as bk
+
+    events = spark.createDataFrame(
+        [(i % 40, f"e{i}") for i in range(2000)], ["user_id", "event"])
+    users = spark.createDataFrame(
+        [(u, f"u{u}") for u in range(40)], ["user_id", "name"])
+    bk.write_bucketed(events, "bk_events", "user_id", n_buckets=8)
+    bk.write_bucketed(users, "bk_users", "user_id", n_buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bk.bucketed_join(spark, "bk_events", "bk_users", "user_id")
+        assert joined.count() == 2000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        # contrast: the same join from unbucketed views DOES shuffle
+        shuffled = events.join(users, "user_id")
+        shuffled.count()
+        plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_events")
+        spark.sql("DROP TABLE IF EXISTS bk_users")
