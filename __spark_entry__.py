@@ -278,6 +278,27 @@ def _fmt_query(fmt: str, good: str, bad: str):
              .otherwise(F.lit(good)).alias("x"))))
 
 
+def q_kw_format_custom(spark, sf_dir):
+    """User-registered format checker (FormatCheckers.Add parity,
+    reference format_checkers.go:147-173): verdicts must honor the custom
+    registry on the column plan, not silently pass as 'unknown format'."""
+    from gojsonschema_spark.core.compiler import SchemaCompiler
+    from gojsonschema_spark.core.formats import FormatRegistry
+
+    def even_length(v):
+        return len(v) % 2 == 0 if isinstance(v, str) else True
+
+    reg = FormatRegistry().add("even-length", even_length)
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.to_json(F.struct(F.col("source").alias("x")))
+                    .alias("doc"))
+    v = SparkValidator({"properties": {"x": {"format": "even-length"}},
+                        "required": ["x"]},
+                       compiler=SchemaCompiler(formats=reg))
+    return (v.validate_json(docs, "doc", violations_col=None)
+            .select("doc_id", "valid"))
+
+
 # good/bad verdicts verified against core.formats (Go parser emulation)
 _FMT_CASES = {
     "email": ("joe@example.com", "joe@@example.com"),
@@ -506,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_additional_items": q_kw_additional_items,
     }
     out.update(_FMT_QUERIES)
+    out["kw_format_custom"] = q_kw_format_custom
     out.update({
         "validate_flagship": q_validate_flagship,
         "violations_by_keyword": q_violations_by_keyword,
@@ -555,6 +577,8 @@ def oracle_sql() -> dict[str, str]:
         for name in _FMT_CASES
     }
     out.update({
+        "kw_format_custom": ("SELECT doc_id, length(source) % 2 = 0 AS valid "
+                             "FROM documents"),
         "kw_const": "SELECT doc_id, lang = 'en' AS valid FROM documents",
         "kw_allof": ("SELECT doc_id, n_chars >= 100 AND n_chars % 2 = 0 AS valid "
                      "FROM documents"),
