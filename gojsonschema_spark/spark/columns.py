@@ -406,7 +406,7 @@ class ColumnPlanCompiler:
                     def tup_det(v, i=i, d=d):
                         arr = _arr(v)
                         return (arr.isNotNull() & _nn(F.size(arr) > i)
-                                & _nn(d(F.element_at(arr, i + 1))))
+                                & _nn(d(F.try_element_at(arr, F.lit(i + 1)))))
 
                     add(tup_det)
             if isinstance(node.additional_items, SubSchema):
@@ -557,7 +557,7 @@ class ColumnPlanCompiler:
                         conds = [arr.isNotNull(),
                                  _nn(F.size(arr) == len(subs))]
                         for i, s in enumerate(subs):
-                            conds.append(_nn(s(F.element_at(arr, i + 1))))
+                            conds.append(_nn(s(F.try_element_at(arr, F.lit(i + 1)))))
                         return _all(conds)
 
                     return arr_pred
@@ -725,7 +725,7 @@ class ColumnPlanCompiler:
                 sz = F.size(arr)
                 conds = []
                 for i, s in enumerate(subs):
-                    conds.append((sz <= i) | _nn(s(F.element_at(arr, i + 1))))
+                    conds.append((sz <= i) | _nn(s(F.try_element_at(arr, F.lit(i + 1)))))
                 return guard(v, _all(conds))
 
             parts.append(tuple_items)
