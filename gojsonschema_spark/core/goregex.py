@@ -41,8 +41,10 @@ _POSIX_CLASSES = {
     "word": r"0-9A-Za-z_", "xdigit": r"0-9A-Fa-f",
 }
 
-# positive inline flag group carrying 'm': (?m) (?im) (?m:...) etc.
-_INLINE_MULTILINE = re.compile(r"\(\?[a-zA-Z]*m[a-zA-Z]*[:)]")
+# positive inline flag group carrying 'm' in its ENABLED section:
+# (?m) (?im) (?m:...) (?m-i:...) — but not (?i-m:...), where m is only
+# being disabled and the bare-'$' end-of-text rewrite stays correct
+_INLINE_MULTILINE = re.compile(r"\(\?[a-zA-Z]*m[a-zA-Z]*(?:-[a-zA-Z]+)?[:)]")
 
 
 class JavaRegexDivergence(ValueError):

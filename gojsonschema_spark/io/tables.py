@@ -49,7 +49,12 @@ def write_pages(df: DataFrame, target: str,
     partitioned parquet with dynamic partition overwrite semantics."""
     looks_like_path = "/" in target or target.endswith(".parquet")
     if looks_like_path:
-        (df.write.mode(mode).partitionBy(bucket_col).parquet(target))
+        # per-write option: overwrite replaces only the partitions present
+        # in df (dynamic), not every partition previously written — without
+        # it Spark's default STATIC overwrite would delete the whole target
+        (df.write.mode(mode)
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy(bucket_col).parquet(target))
     else:
         w = df.writeTo(target).partitionedBy(df[bucket_col])
         if mode == "overwrite":

@@ -9,10 +9,12 @@ bucket-local problem. Dot products run as JVM higher-order functions
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 __all__ = ["cosine_to_query", "brute_force_topk", "hyperplane_signature",
-           "lsh_bucketed_topk", "ivf_train", "ivf_assign", "ivf_topk"]
+           "lsh_bucketed_topk", "ivf_train", "ivf_assign", "ivf_topk",
+           "ivf_build_index", "ivf_probe_topk",
+           "lsh_build_index", "lsh_probe_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -126,6 +128,75 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
     probes = sorted(range(len(centroids)), key=lambda i: d[i])[:n_probe]
     cand = (ivf_assign(df, centroids, vec_col)
             .filter(F.col("ivf_cell").isin(probes)))
+    return brute_force_topk(cand, query_vec, k, vec_col, key_col, round_to)
+
+
+def ivf_build_index(df: DataFrame, centroids: list[list[float]], target: str,
+                    vec_col: str = "embedding",
+                    cell_col: str = "ivf_cell") -> None:
+    """Persist the IVF index: compute each vector's nearest-centroid cell
+    ONCE and write the corpus partitioned by it. This is the 100 TB shape:
+    the assignment scan happens at build time; every subsequent probe is a
+    partition-PRUNED read of n_probe/k of the table (the cell filter lands
+    in the scan's PartitionFilters — plan-gated in tests/test_ops.py),
+    never a full-corpus argmin at query time."""
+    from ..io.tables import write_pages
+    assigned = ivf_assign(df, centroids, vec_col, cell_col)
+    write_pages(assigned, target, bucket_col=cell_col)
+
+
+def ivf_probe_topk(spark: SparkSession, index_source: str,
+                   centroids: list[list[float]], query_vec: list[float],
+                   k: int = 10, n_probe: int = 4,
+                   vec_col: str = "embedding", key_col: str = "vec_id",
+                   cell_col: str = "ivf_cell", round_to: int = 6) -> DataFrame:
+    """ANN top-k against a PERSISTED index (see :func:`ivf_build_index`):
+    rank cells on the driver over the tiny k x d centroid matrix, read only
+    the n_probe matching partitions, exact cosine within them."""
+    from ..io.tables import read_pages
+    d = [sum((a - b) * (a - b) for a, b in zip(query_vec, c))
+         for c in centroids]
+    probes = sorted(range(len(centroids)), key=lambda i: d[i])[:n_probe]
+    cand = read_pages(spark, index_source, bucket_col=cell_col, buckets=probes)
+    return brute_force_topk(cand, query_vec, k, vec_col, key_col, round_to)
+
+
+def lsh_build_index(df: DataFrame, planes: list[list[float]], target: str,
+                    vec_col: str = "embedding",
+                    sig_col: str = "lsh_sig") -> None:
+    """Persist the hyperplane-LSH index: signatures computed once at build
+    time, corpus written partitioned by signature — probes prune to one
+    partition instead of recomputing signatures over the full corpus."""
+    from ..io.tables import write_pages
+    signed = df.withColumn(sig_col,
+                           hyperplane_signature(F.col(vec_col), planes))
+    write_pages(signed, target, bucket_col=sig_col)
+
+
+def lsh_probe_topk(spark: SparkSession, index_source: str,
+                   query_vec: list[float], planes: list[list[float]],
+                   k: int = 10, vec_col: str = "embedding",
+                   key_col: str = "vec_id", sig_col: str = "lsh_sig",
+                   round_to: int = 6,
+                   multiprobe_bits: int = 0) -> DataFrame:
+    """ANN top-k against a persisted LSH index: the query signature (and,
+    with ``multiprobe_bits`` > 0, its single-bit-flip neighbors — standard
+    multiprobe to cut the miss rate) selects partitions; the scan reads
+    only those buckets."""
+    import itertools
+    from ..io.tables import read_pages
+    q = [float(x) for x in query_vec]
+    q_sig = sum((1 << i) for i, p in enumerate(planes)
+                if sum(a * b for a, b in zip(q, p)) >= 0)
+    sigs = {q_sig}
+    for flips in itertools.combinations(range(len(planes)),
+                                        min(multiprobe_bits, len(planes))):
+        s = q_sig
+        for b in flips:
+            s ^= (1 << b)
+        sigs.add(s)
+    cand = read_pages(spark, index_source, bucket_col=sig_col,
+                      buckets=sorted(sigs))
     return brute_force_topk(cand, query_vec, k, vec_col, key_col, round_to)
 
 

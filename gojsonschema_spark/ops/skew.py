@@ -22,12 +22,18 @@ __all__ = ["with_salt", "salted_counts", "salted_collect_sample"]
 def with_salt(df: DataFrame, key: str, n_salts: int = 32,
               salt_col: str = "__salt") -> DataFrame:
     """Deterministic per-row salt in [0, n_salts): spreads one hot key
-    over n_salts reducers. Derived from the full row's hash via a
-    monotonically varying component (xxhash64 over all columns), not
-    rand(), so reruns shuffle identically (resumable jobs)."""
+    over n_salts reducers — including the degenerate case where the hot
+    key's rows are FULLY IDENTICAL (boilerplate/empty-text pages), which a
+    content-only hash would map to a single lane. The salt mixes the row's
+    physical position (monotonically_increasing_id = partition id + offset
+    within partition) into the content hash: rows that agree on every
+    column still fan out across lanes. Position is deterministic for a
+    deterministic scan (same files, same split order) — the resumable-
+    rerun scenario this op is designed for — unlike rand()."""
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id(),
+                          *[F.col(c) for c in df.columns]),
                F.lit(n_salts)).cast("int"))
 
 

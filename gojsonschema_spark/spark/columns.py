@@ -111,15 +111,27 @@ def _num_dec(v: Column) -> Column:
     """Exact decimal(38,18) value, or NULL when the cast would be lossy.
 
     Spark's decimal cast silently ROUNDS scale loss (0.9999999999999999999
-    -> 1.000000000000000000), so values whose lexical form needs scale > 18
-    (fraction digits minus exponent) must fall through to the double branch
-    — an inexact compare inside the documented double-fallback caveat, but
-    never a silently-rounded 'exact' one."""
+    -> 1.000000000000000000), so values carrying NONZERO digits past scale
+    18 must fall through to the double branch — an inexact compare inside
+    the documented double-fallback caveat, but never a silently-rounded
+    'exact' one. Lossiness is decided on the VALUE, not the lexical form:
+    a rendering whose out-of-scale digits are all zeros ('1.00...0' at
+    scale 19 == 1) keeps the decimal path, so numerically equal values can
+    never straddle the decimal/double boundary and compare unequal (e.g.
+    in _scalar_canon_key uniqueItems keys). The digits at fraction
+    positions 19..S (S = frac_digits - exp, the effective scale) are the
+    last S-18 significand digits."""
     txt = F.to_json(v)
-    frac_digits = F.length(F.regexp_extract(txt, r"\.([0-9]+)", 1))
+    mant_int = F.regexp_extract(txt, r"^-?([0-9]+)", 1)
+    frac = F.regexp_extract(txt, r"\.([0-9]+)", 1)
     exp = F.coalesce(
         F.regexp_extract(txt, r"[eE]([+-]?[0-9]+)", 1).try_cast("int"), F.lit(0))
-    lossy = (frac_digits - exp) > 18
+    drop_n = F.length(frac) - exp - 18
+    digits = F.concat(mant_int, frac)
+    dropped = F.substring(digits,
+                          F.greatest(F.length(digits) - drop_n + 1, F.lit(1)),
+                          drop_n)
+    lossy = (drop_n > 0) & dropped.rlike("[1-9]")
     return F.when(~lossy, F.try_variant_get(v, "$", "decimal(38,18)"))
 
 
@@ -130,14 +142,14 @@ def _num_dbl(v: Column) -> Column:
 def _scalar_canon_key(x: Column) -> Column:
     """Canonical-equality key for a SCALAR variant element (uniqueItems).
 
-    Mirrors the reference's marshalWithoutNumber collapse (utils.go:84-104,
-    validation.go:530-547) for scalars: 1, 1.0 and 1e0 get the same key via
-    the lossless decimal(38,18) rendering (double fallback beyond it, the
-    documented divergence class); strings/bools/null are tagged by kind so
-    '"1"' never collides with 1."""
+    The reference's marshalWithoutNumber (utils.go:84-104, used at
+    validation.go:530-547) re-decodes numbers WITHOUT UseNumber — i.e.
+    through float64 — so canonical number equality IS double equality:
+    1, 1.0, 1e0 and 1.00000000000000000001 all collapse. The key is the
+    double rendering (Double.toString is injective over distinct doubles);
+    strings/bools/null are tagged by kind so '"1"' never collides with 1."""
     fc = _fc(x)
-    num_key = F.concat(F.lit("d"), F.coalesce(_num_dec(x).cast("string"),
-                                              _num_dbl(x).cast("string")))
+    num_key = F.concat(F.lit("d"), _num_dbl(x).cast("string"))
     return (F.when(F.is_variant_null(x), F.lit("n"))
              .when(fc == '"', F.concat(F.lit("s"),
                                        F.try_variant_get(x, "$", "string")))

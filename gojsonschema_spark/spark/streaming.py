@@ -28,9 +28,17 @@ __all__ = ["validate_stream", "windowed_invalid_rate", "sessionize_stream"]
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
                     doc_col: str, valid_col: str = "valid") -> DataFrame:
-    """Append the `valid` bit to a streaming DataFrame (stateless)."""
-    if validator.column_plan is None:
-        # the interpreter UDF is stateless too — works on streams, slower
+    """Append the `valid` bit to a streaming DataFrame (stateless).
+
+    Hybrid plans (``frontier_plan`` set: cyclic $ref unroll, composite
+    uniqueItems, UDF formats in HOF positions) compile to an optimistic
+    SQL plan whose exactness depends on the interpreter re-verdicting
+    frontier rows — validate_json's masking logic is stateless and
+    stream-safe, so those validators route through it rather than
+    applying the optimistic column plan alone (which would silently mark
+    frontier rows valid)."""
+    if validator.column_plan is None or validator.frontier_plan is not None:
+        # interpreter / hybrid masking paths are stateless projections too
         return validator.validate_json(stream_df, doc_col, valid_col,
                                        violations_col=None)
     v = F.try_parse_json(F.col(doc_col))

@@ -146,9 +146,14 @@ def test_goregex_multiline_and_posix():
     assert compile_re2("^[[:digit:]]+$").search("12a") is None
     assert compile_re2("^[[:xdigit:]]+$").search("1aF")
     # Java-divergent syntax must raise so schemas route to the interpreter
-    for bad in ["(?m)^a$", "[a&&b]", "[a[b]]", "x[[:alpha:]]y"]:
+    # — including flag groups that enable m while disabling others
+    for bad in ["(?m)^a$", "(?m-i:^a$)", "(?im-sU)a", "[a&&b]", "[a[b]]",
+                "x[[:alpha:]]y"]:
         with pytest.raises(JavaRegexDivergence):
             translate_re2_java(bad)
+    # m only in the DISABLED section is not multiline: '$' still rewrites
+    assert translate_re2_java("(?i-m:a)$").endswith("\\z")
+    assert compile_re2("(?i-m:a)$").search("A\n") is None
     # plain anchors still get the end-of-text rewrite for rlike
     assert translate_re2_java("^src[0-9]+$") == "^src[0-9]+\\z"
 

@@ -134,6 +134,78 @@ def test_similarity_ivf(spark):
     assert all(r.vec_id < 100 for r in got)  # only the probed cell scanned
 
 
+def _scan_partitions_read(df) -> int:
+    """numPartitions metric of the (executed) file scan: the authoritative
+    partition-pruning evidence — inputFiles() lists the relation's files
+    BEFORE pruning, so it cannot distinguish pruned from post-scan filters."""
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    return int(scan.metrics().apply("numPartitions").value())
+
+
+def test_ivf_persisted_index_partition_pruned(spark, tmp_path):
+    """The 100 TB scale path: assignments persisted ONCE as a partition
+    column; a probe is a partition-PRUNED scan — the cell filter reaches
+    the scan's PartitionFilters and only n_probe/k of the files are read."""
+    rows = [Row(vec_id=i, embedding=[1.0 + 0.01 * i, 0.0, 0.0, 0.0])
+            for i in range(10)]
+    rows += [Row(vec_id=100 + i, embedding=[0.0, 1.0 + 0.01 * i, 0.0, 0.0])
+             for i in range(10)]
+    rows += [Row(vec_id=200 + i, embedding=[0.0, 0.0, 1.0 + 0.01 * i, 0.0])
+             for i in range(10)]
+    df = spark.createDataFrame(rows)
+    cents = sim.ivf_train(df, n_centroids=3, iters=2)
+    idx = str(tmp_path / "ivf_index")
+    sim.ivf_build_index(df, cents, idx)
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    probe = sim.ivf_probe_topk(spark, idx, cents, q, k=5, n_probe=1)
+    got = probe.collect()
+    # persisted-index probe == query-time probe with the same centroids
+    want = sim.ivf_topk(df, cents, q, k=5, n_probe=1).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == \
+        [(r.vec_id, r.cosine) for r in want]
+
+    # plan gate: the cell filter is a PARTITION filter (pruned at the
+    # scan), not a post-scan Filter — the scan READ only 1 of 3 cells
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert _scan_partitions_read(probe) == 1
+
+    # exhaustive probe through the SAME persisted path == brute force
+    full = sim.ivf_probe_topk(spark, idx, cents, q, k=5, n_probe=3).collect()
+    wall = sim.brute_force_topk(df, q, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == \
+        [(r.vec_id, r.cosine) for r in wall]
+
+
+def test_lsh_persisted_index_partition_pruned(spark, tmp_path):
+    """Hyperplane-LSH persisted index: signatures written once as a
+    partition column; the probe reads only the query-signature bucket(s)."""
+    rows = [Row(vec_id=i, embedding=[1.0 + 0.01 * i, 0.0, 0.0, 0.0])
+            for i in range(10)]
+    rows += [Row(vec_id=100 + i, embedding=[-1.0 - 0.01 * i, 0.0, 0.0, 0.0])
+             for i in range(10)]
+    df = spark.createDataFrame(rows)
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    idx = str(tmp_path / "lsh_index")
+    sim.lsh_build_index(df, planes, idx)
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    probe = sim.lsh_probe_topk(spark, idx, q, planes, k=3)
+    got = probe.collect()
+    assert all(r.vec_id < 100 for r in got)  # opposite bucket never read
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "lsh_sig" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert _scan_partitions_read(probe) == 1
+    # multiprobe widens to bit-flip neighbor buckets (only 2 of the 4
+    # signature values exist in this corpus: 3 and its 1-flip neighbor 2)
+    multi = sim.lsh_probe_topk(spark, idx, q, planes, k=3, multiprobe_bits=1)
+    multi.collect()
+    assert _scan_partitions_read(multi) == 2
+
+
 def test_multimodal_features(spark):
     df = spark.createDataFrame(
         [("a", bytearray(b"payload-1")), ("b", bytearray(b"payload-2"))],
@@ -219,6 +291,22 @@ def test_skew_salting(spark):
              skew.salted_collect_sample(df, "key", "id", per_key=5,
                                         n_salts=8).collect()}
     assert samp == samp2
+
+
+def test_skew_salting_identical_rows(spark):
+    """The degenerate hot key: thousands of FULLY IDENTICAL rows
+    (boilerplate/empty-text pages). A content-only salt hash maps them all
+    to one lane; the positional component must spread them across lanes."""
+    from gojsonschema_spark.ops import skew
+
+    df = spark.createDataFrame([("hot", "") for _ in range(8000)],
+                               ["key", "text"]).repartition(8)
+    salted = skew.with_salt(df, "key", n_salts=8)
+    hist = {r["__salt"]: r["n"] for r in
+            salted.groupBy("__salt").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(hist) == 8, hist          # every lane used
+    assert max(hist.values()) < 8000 * 0.5  # no lane dominates
+    assert skew.salted_counts(df, "key", n_salts=8).collect()[0]["n"] == 8000
 
 
 def test_bucketed_join_no_exchange(spark):

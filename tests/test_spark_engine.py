@@ -234,14 +234,22 @@ def test_unique_items_sql_path(spark):
             '{"a": [0, false]}',
             '{"a": [null, null]}',
             '{"a": ["a", "b", "a"]}',
-            '{"a": [1, 2, 3]}']
+            '{"a": [1, 2, 3]}',
+            # canonical equality is FLOAT64 collapse (marshalWithoutNumber,
+            # utils.go:84-104): deep-scale renderings of 1 are duplicates
+            '{"a": [1, 1.0000000000000000000]}',
+            '{"a": [1, 1.00000000000000000001]}',
+            # distinct doubles stay distinct
+            '{"a": [1.5e-20, 2]}',
+            '{"a": [0.1, 0.2]}']
     df = spark.createDataFrame([(d,) for d in docs], ["doc"])
     got_col = [r.valid for r in
                v.validate_json(df, "doc", violations_col=None).collect()]
     got_udf = [r.valid for r in
                u.validate_json(df, "doc", violations_col=None).collect()]
     assert got_col == got_udf == [False, False, True, True, True,
-                                  False, False, True]
+                                  False, False, True,
+                                  False, False, True, True]
 
     # without a scalar guarantee the plan goes hybrid (frontier detector)
     w = SparkValidator({"uniqueItems": True})

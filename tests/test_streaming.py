@@ -48,6 +48,51 @@ def test_streaming_validation(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_hybrid_frontier(spark, tmp_path):
+    """A HYBRID validator (cyclic $ref past the depth-3 unroll) on a stream
+    must re-verdict frontier rows with the interpreter, not apply the
+    optimistic column plan alone — deep invalid documents stay invalid."""
+    cyclic = {"definitions": {"node": {
+        "type": "object", "required": ["v"],
+        "properties": {"v": {"type": "integer"},
+                       "next": {"$ref": "#/definitions/node"}}}},
+        "$ref": "#/definitions/node"}
+    v = SparkValidator(cyclic)
+    assert v.uses_column_plan and v.frontier_plan is not None
+
+    def nest(depth, leaf_v):
+        doc = {"v": leaf_v}
+        for _ in range(depth):
+            doc = {"v": 1, "next": doc}
+        return json.dumps(doc)
+
+    rows = [nest(0, 1), nest(6, 2), nest(6, "bad"), nest(1, "bad")]
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for d in rows:
+            f.write(json.dumps({"doc": d}) + "\n")
+    stream = (spark.readStream
+              .schema(StructType([StructField("doc", StringType())]))
+              .json(str(src)))
+    out = validate_stream(stream, v, "doc")
+    q = (out.writeStream.format("memory").queryName("hybrid_verdicts")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r.doc: r.valid for r in
+               spark.sql("select * from hybrid_verdicts").collect()}
+    finally:
+        q.stop()
+    # batch ground truth (same engine, exact hybrid path)
+    bdf = spark.createDataFrame([(d,) for d in rows], ["doc"])
+    want = {r.doc: r.valid for r in
+            v.validate_json(bdf, "doc", violations_col=None).collect()}
+    assert got == want
+    assert got[rows[2]] is False  # deep invalid row: the regression case
+    assert got[rows[1]] is True
+
+
 def test_windowed_invalid_rate_builds(spark):
     # plan-construction check for the watermark + window rollup
     stream = (spark.readStream.format("rate").option("rowsPerSecond", "1").load()
