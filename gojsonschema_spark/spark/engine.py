@@ -141,8 +141,17 @@ class SparkValidator:
         by hoping the filter pushes through the Python-eval node."""
         if self.column_plan is not None:
             out = self.validate_json(df, doc_col, violations_col=None)
+            # barrier the bit BEFORE filtering: a bare filter(~valid) lets
+            # PushPredicateThroughNonJoin substitute the whole predicate
+            # into a FilterExec, which (unlike ProjectExec) performs NO
+            # subexpression elimination — the variant->map conversion then
+            # re-evaluates once per keyword reference (measured 3x the
+            # pass-1 cost at 200k docs). Behind the Generate the predicate
+            # stays in the CSE'd Project and the filter tests one boolean
+            # attribute.
+            out = _barrier(out, "__gjs_vbit", F.col("valid"))
             elaborate = make_violations_udf(self.compiled)
-            bad = (out.filter(~F.col("valid"))
+            bad = (out.filter(~F.col("__gjs_vbit")).drop("__gjs_vbit")
                       .withColumn("violations",
                                   elaborate(F.col(doc_col), F.lit(False))))
         else:

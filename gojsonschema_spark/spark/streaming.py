@@ -23,7 +23,8 @@ from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
 
 from .engine import SparkValidator
 
-__all__ = ["validate_stream", "windowed_invalid_rate", "sessionize_stream"]
+__all__ = ["validate_stream", "windowed_invalid_rate", "sessionize_stream",
+           "sessionize_batch"]
 
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
@@ -112,6 +113,37 @@ def sessionize_stream(df: DataFrame, key_col: str = "user_id",
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout)
+
+
+def sessionize_batch(df: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", gap_sec: float = 1800.0,
+                     tiebreak_col: str | None = None) -> DataFrame:
+    """Batch twin of :func:`sessionize_stream`: same gap rule, expressed as
+    window functions (lag -> session-start flag -> cumulative session id ->
+    per-session agg), so one definition of a "session" serves both the
+    stream and the backfill. Emits ALL sessions, including each key's
+    still-open tail (the stream emits that one only after its timeout).
+
+    ``tiebreak_col`` makes the intra-key order total when timestamps can
+    collide (session membership itself only depends on the sorted
+    timestamp multiset, but a total order keeps the cumulative sum
+    deterministic for row-level consumers)."""
+    from pyspark.sql import Window as W
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    epochs = lambda c: F.col(c).cast("timestamp").cast("double")
+    prev = F.lag(ts_col).over(w)
+    new_session = (prev.isNull()
+                   | (epochs(ts_col) - prev.cast("timestamp").cast("double")
+                      > gap_sec)).cast("long")
+    sid = F.sum(new_session).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (df.select(key_col, F.col(ts_col), sid.alias("session_id"))
+              .groupBy(key_col, "session_id")
+              .agg(F.min(ts_col).alias("session_start"),
+                   F.max(ts_col).alias("session_end"),
+                   F.count(F.lit(1)).alias("n_events")))
 
 
 def windowed_invalid_rate(validated: DataFrame, ts_col: str,

@@ -293,6 +293,30 @@ def test_skew_salting(spark):
     assert samp == samp2
 
 
+def test_sketch_paths_within_tolerance(spark):
+    """The 100 TB variants (HLL distinct, approx_percentile sketch) gated
+    against their exact counterparts with error bands — these are the
+    paths a large run actually takes, not the exact ones."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(0, 5000), float(rnd.gauss(500, 120)))
+            for i in range(20000)]
+    df = spark.createDataFrame(rows, ["id", "key", "x"])
+
+    exact = dc.uniqueness_ratio(df, "key", approximate=False).collect()[0]
+    approx = dc.uniqueness_ratio(df, "key", approximate=True).collect()[0]
+    assert approx.n_rows == exact.n_rows
+    # HLL++ default rsd is 5%; gate at 10% for determinism headroom
+    assert abs(approx.n_distinct - exact.n_distinct) <= 0.10 * exact.n_distinct
+
+    pe = dc.numeric_percentiles(df, "x", approximate=False).collect()[0]
+    pa = dc.numeric_percentiles(df, "x", approximate=True).collect()[0]
+    spread = pe.p75 - pe.p25
+    for q in ("p25", "p50", "p75"):
+        # sketch accuracy 1/10000 on ranks; band = 2% of the IQR
+        assert abs(getattr(pa, q) - getattr(pe, q)) <= 0.02 * spread, (q, pa, pe)
+
+
 def test_skew_salting_identical_rows(spark):
     """The degenerate hot key: thousands of FULLY IDENTICAL rows
     (boilerplate/empty-text pages). A content-only salt hash maps them all

@@ -151,3 +151,16 @@ def test_sessionize_stream(spark, tmp_path):
         assert r.session_start.minute == 0 and r.session_end.minute == 5
     finally:
         q.stop()
+
+    # batch twin: SAME gap rule over the same input emits the closed
+    # session identically, plus the open tails the stream is still holding
+    from gojsonschema_spark.spark.streaming import sessionize_batch
+    bdf = spark.createDataFrame(
+        [(int(e["user_id"]), e["ts"]) for e in events], ["user_id", "ts"]
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in sessionize_batch(bdf, "user_id", "ts", 1800).collect()}
+    closed = (rows[0].user_id, rows[0].session_start,
+              rows[0].session_end, rows[0].n_events)
+    assert closed in got
+    assert len(got) == 3  # user1 x2 sessions + user2 open tail
