@@ -105,9 +105,13 @@ def bench_queries(spark) -> dict[str, float]:
         .agg(F.count(F.lit(1)), F.sum(F.col("valid").cast("int"))).collect())
     # NB: .limit() would collapse to one partition — full corpus instead.
     # violations_table filters valid rows BEFORE the interpreter-UDF node,
-    # so Python only ever sees the invalid subset (~3% of this corpus)
+    # so Python only ever sees the invalid subset (~3% of this corpus).
+    # reps=6: the UDF-bearing plan needs ~5 invocations before HotSpot
+    # promotes its generated code (measured on this host: reps 1-4 run
+    # 3.3-5.0s, steady state 1.65s ~= 1.25x the pure-SQL pass); best-of-3
+    # would report warm-up, not the engine.
     run("validate_pages_violations", lambda: v.violations_table(docs, "doc", [])
-        .groupBy("keyword").count().collect())
+        .groupBy("keyword").count().collect(), reps=6)
     udf_v = SparkValidator(FLAGSHIP_SCHEMA, force_udf=True)
     udf_subset = docs.filter(F.xxhash64("doc") % 10 == 0)  # ~10%, stays parallel
     run("validate_pages_udf_10pct", lambda: udf_v.validate_json(

@@ -79,12 +79,17 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding",
                cell_col: str = "ivf_cell") -> DataFrame:
     """Nearest-centroid cell id per row (argmin over the centroid array);
-    pure codegen expressions, no Python."""
+    pure codegen expressions, no Python. The cell lands behind an
+    explode(array(..)) Generate barrier: a downstream filter on it (the
+    query-time probe) then tests an attribute instead of having the whole
+    k-distance argmin substituted into a FilterExec, which performs no
+    subexpression elimination and would evaluate the distance array twice
+    per row."""
     v = F.col(vec_col).cast("array<double>")
     dists = F.array(*[_sq_dist(v, F.lit(c).cast("array<double>"))
                       for c in centroids])
-    cid = F.array_position(dists, F.array_min(dists)) - 1
-    return df.withColumn(cell_col, cid.cast("int"))
+    cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.select("*", F.explode(F.array(cid)).alias(cell_col))
 
 
 def ivf_train(df: DataFrame, n_centroids: int = 16, iters: int = 2,
@@ -206,11 +211,14 @@ def lsh_bucketed_topk(df: DataFrame, query_vec: list[float], planes: list[list[f
     """ANN: restrict the scan to the query's hyperplane bucket, then exact
     cosine inside it. Partition pruning follows for tables written
     bucketed/partitioned by the signature."""
-    sig = hyperplane_signature(F.col(vec_col), planes)
     q_sig_row = (df.sparkSession.range(1)
                  .select(hyperplane_signature(
                      F.lit(query_vec).cast("array<float>"), planes).alias("s"))
                  .collect())
     q_sig = q_sig_row[0]["s"]
-    bucket = df.filter(sig == F.lit(q_sig))
+    # signature behind a Generate barrier for the same FilterExec-CSE
+    # reason as ivf_assign
+    signed = df.select("*", F.explode(F.array(
+        hyperplane_signature(F.col(vec_col), planes))).alias("__gjs_sig"))
+    bucket = signed.filter(F.col("__gjs_sig") == F.lit(q_sig)).drop("__gjs_sig")
     return brute_force_topk(bucket, query_vec, k, vec_col, key_col, round_to)
