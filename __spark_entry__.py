@@ -357,12 +357,12 @@ q_kw_scalars = _bundle_query({
 # dataset-level checks (SURVEY.md §2.7 / north_star)
 # ---------------------------------------------------------------------------
 
-def q_stats_n_chars(spark, sf_dir):
-    return dc.column_stats(_t(spark, sf_dir, "documents"), "n_chars")
-
-
-def q_percentiles_n_chars(spark, sf_dir):
-    return dc.numeric_percentiles(_t(spark, sf_dir, "documents"), "n_chars")
+def q_column_profile_n_chars(spark, sf_dir):
+    """Per-column stats + exact percentiles in one row (column_stats and
+    numeric_percentiles, merged since r3 to free a driver-gate slot)."""
+    d = _t(spark, sf_dir, "documents")
+    return (dc.column_stats(d, "n_chars")
+            .join(dc.numeric_percentiles(d, "n_chars")))
 
 
 def q_uniqueness_events_user(spark, sf_dir):
@@ -447,6 +447,21 @@ def q_ann_ivf_topk(spark, sf_dir):
             e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
     cents = sim.ivf_train(e, n_centroids=8, iters=1)
     return sim.ivf_topk(e, cents, qvec, k=10, n_probe=8)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact op; the LSH-bucketed scale
+    path is recall-gated in tests/test_ops.py). Corpus = embeddings plus
+    scalar-perturbed copies of every 20th vector — a positive scalar
+    multiple has cosine exactly 1, so the planted pairs are the near-dups
+    (max cosine between distinct base vectors at this SF is 0.51)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dups = (e.filter(F.col("vec_id") % 20 == 0)
+             .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                     F.transform(v, lambda x: x * 1.001).alias("embedding")))
+    corpus = e.select("vec_id", v.alias("embedding")).unionAll(dups)
+    return dd.embedding_near_dups(corpus, threshold=0.99)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -641,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly_events": q_rollup_hourly_events,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "dedup_embedding": q_dedup_embedding,
         # round-3 additions
         "validate_variant": q_validate_variant,
         "sessionize_events": q_sessionize_events,
@@ -653,8 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_by_keyword": q_violations_by_keyword,
         "validate_events_props": q_validate_events_props,
         # dataset-level checks (§2.7 / north_star)
-        "stats_n_chars": q_stats_n_chars,
-        "percentiles_n_chars": q_percentiles_n_chars,
+        "column_profile_n_chars": q_column_profile_n_chars,
         "uniqueness_events_user": q_uniqueness_events_user,
         "referential_orphans": q_referential_orphans,
         "drift_lang_kl": q_drift_lang_kl,
@@ -755,14 +770,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lang = 'en' THEN n_chars >= 200 ELSE n_chars <= 400 END AS valid
             FROM documents
         """,
-        "stats_n_chars": """
+        "column_profile_n_chars": """
             SELECT count(n_chars) AS n, min(n_chars) AS min_v, max(n_chars) AS max_v,
                    round(avg(n_chars), 6) AS avg_v,
-                   round(stddev_samp(n_chars), 6) AS stddev_v
-            FROM documents
-        """,
-        "percentiles_n_chars": """
-            SELECT round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(stddev_samp(n_chars), 6) AS stddev_v,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25,
                    round(quantile_cont(n_chars, 0.50), 6) AS p50,
                    round(quantile_cont(n_chars, 0.75), 6) AS p75
             FROM documents
@@ -919,6 +931,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "dedup_embedding": """
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+                FROM embeddings WHERE vec_id % 20 = 0
+            ), scored AS (
+                SELECT c1.vec_id AS a, c2.vec_id AS b,
+                       round(list_dot_product(c1.v, c2.v) /
+                             (greatest(sqrt(list_dot_product(c1.v, c1.v)), 1e-12) *
+                              greatest(sqrt(list_dot_product(c2.v, c2.v)), 1e-12)), 6)
+                           AS cosine
+                FROM corpus c1 JOIN corpus c2 ON c1.vec_id < c2.vec_id
+            )
+            SELECT a, b, cosine FROM scored WHERE cosine >= 0.99
         """,
         "validate_variant":
             f"SELECT doc_id, {flagship_valid} AS valid FROM documents",

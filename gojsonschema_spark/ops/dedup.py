@@ -1,4 +1,5 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
 
 Designed for the 100 TB regime:
 
@@ -20,7 +21,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text import normalize_text, tokenize
 
 __all__ = ["exact_duplicates", "shingles", "minhash_signatures",
-           "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs"]
+           "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs",
+           "embedding_near_dups", "lsh_embedding_near_dups"]
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -173,3 +175,67 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     jac = F.round(inter / F.greatest(union, F.lit(1)), round_to)
     return (joined.select("key_a", "key_b", jac.alias("jaccard"))
                   .filter(F.col("jaccard") >= threshold))
+
+
+def _cosine(va: Column, vb: Column) -> Column:
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda a: F.sqrt(F.aggregate(a, F.lit(0.0),
+                                        lambda acc, v: acc + v * v))
+    return dot / (F.greatest(norm(va), F.lit(1e-12)) *
+                  F.greatest(norm(vb), F.lit(1e-12)))
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.99,
+                        vec_col: str = "embedding", key_col: str = "vec_id",
+                        round_to: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT: self-join on
+    key_a < key_b with the cosine computed as JVM higher-order functions.
+    O(n^2) — the exactness baseline / verifier for a bounded candidate
+    set; the 100 TB path is :func:`lsh_embedding_near_dups`, which
+    confines the pair generation to hyperplane buckets."""
+    a = df.select(F.col(key_col).alias("a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(key_col).alias("b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    # cosine behind a Generate barrier: the threshold filter then tests an
+    # attribute instead of re-evaluating the dot product inside FilterExec
+    # (no subexpression elimination there)
+    scored = pairs.select(
+        "a", "b",
+        F.explode(F.array(F.round(_cosine(F.col("va"), F.col("vb")),
+                                  round_to))).alias("cosine"))
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def lsh_embedding_near_dups(df: DataFrame, planes: list[list[float]],
+                            threshold: float = 0.99,
+                            vec_col: str = "embedding",
+                            key_col: str = "vec_id",
+                            round_to: int = 6,
+                            max_bucket: int = 5000) -> DataFrame:
+    """Scale path: hyperplane-LSH bucketing -> per-bucket pair generation
+    -> exact cosine verify. The self-join shuffles on the signature, so
+    the cross-product only materializes within a bucket (near-duplicate
+    vectors agree on every sign bit with high probability); degenerate
+    buckets are dropped at ``max_bucket`` like minhash_lsh_pairs'. Recall
+    vs the exact op is gated in tests/test_ops.py."""
+    from .similarity import hyperplane_signature
+
+    signed = df.select(
+        F.col(key_col).alias("k"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.explode(F.array(hyperplane_signature(F.col(vec_col), planes)))
+         .alias("sig"))
+    sizes = signed.groupBy("sig").agg(F.count(F.lit(1)).alias("n"))
+    signed = (signed.join(F.broadcast(sizes.filter(F.col("n") <= max_bucket)
+                                      .select("sig")), "sig"))
+    a = signed.select("sig", F.col("k").alias("a"), F.col("v").alias("va"))
+    b = signed.select("sig", F.col("k").alias("b"), F.col("v").alias("vb"))
+    pairs = a.join(b, ["sig"]).filter(F.col("a") < F.col("b"))
+    scored = pairs.select(
+        "a", "b",
+        F.explode(F.array(F.round(_cosine(F.col("va"), F.col("vb")),
+                                  round_to))).alias("cosine"))
+    return scored.filter(F.col("cosine") >= threshold).dropDuplicates(["a", "b"])

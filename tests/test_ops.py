@@ -293,6 +293,36 @@ def test_skew_salting(spark):
     assert samp == samp2
 
 
+def test_embedding_near_dups_exact_and_lsh(spark):
+    """Embedding-cosine near-dup: exact self-join finds exactly the
+    planted scalar-multiple duplicates; the LSH-bucketed scale path has
+    recall 1.0 on them (a positive scalar multiple preserves every
+    hyperplane sign, so a near-dup pair always shares its bucket)."""
+    import random
+    rnd = random.Random(11)
+    base = [[rnd.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(base)]
+    rows += [Row(vec_id=100 + i, embedding=[x * 1.001 for x in v])
+             for i, v in enumerate(base) if i % 4 == 0]
+    df = spark.createDataFrame(rows)
+    want = {(i, 100 + i) for i in range(40) if i % 4 == 0}
+
+    exact = dd.embedding_near_dups(df, threshold=0.99)
+    got = {(r.a, r.b) for r in exact.collect()}
+    assert got == want
+    assert all(abs(r.cosine - 1.0) < 1e-5 for r in exact.collect())
+
+    planes = [[rnd.gauss(0, 1) for _ in range(8)] for _ in range(6)]
+    lsh = dd.lsh_embedding_near_dups(df, planes, threshold=0.99)
+    got_lsh = {(r.a, r.b) for r in lsh.collect()}
+    assert got_lsh == want  # recall 1.0 by construction, no false positives
+    # two shuffles (bucket groupBy sizes + pair join), never a global
+    # cross product: the join key is the signature
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_sketch_paths_within_tolerance(spark):
     """The 100 TB variants (HLL distinct, approx_percentile sketch) gated
     against their exact counterparts with error bands — these are the
