@@ -195,7 +195,10 @@ def scaling() -> None:
     about. Runs the flagship validation only, 3 reps, best-of."""
     import subprocess
 
-    n_rows = os.environ.get("SPARK_GRAFT_SCALING_ROWS", "4000000")
+    # 2M pages: large enough that compute dominates fixed per-job cost
+    # (>50s wall at N), small enough that both configs complete within a
+    # 10-minute budget (4M needed ~12 min end-to-end)
+    n_rows = os.environ.get("SPARK_GRAFT_SCALING_ROWS", "2000000")
     results = {}
     # N vs 4N EXECUTORS: local-cluster spawns separate executor JVMs —
     # the honest multi-executor stand-in (own heaps, GC, python workers).

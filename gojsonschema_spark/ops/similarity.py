@@ -65,9 +65,11 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
 #
 # Coarse k-means quantizer; vectors assign to their nearest centroid cell
 # and queries probe only the n_probe nearest cells. At 10^12 rows the
-# assignment is written once as a partition column (partition pruning then
-# makes a probe read n_probe/k of the table); here the index build is two
-# Lloyd iterations expressed as Spark aggregations — only the k x d
+# assignment is written ONCE as a partition column via ivf_build_index
+# (ivf_probe_topk then reads n_probe/k of the table through partition
+# pruning — plan-gated on the scan's numPartitions metric); ivf_topk is
+# the index-free variant for one-off batch queries. The index build is a
+# few Lloyd iterations expressed as Spark aggregations — only the k x d
 # centroid matrix ever reaches the driver.
 
 def _sq_dist(a: Column, b: Column) -> Column:
