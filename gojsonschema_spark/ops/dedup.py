@@ -67,22 +67,31 @@ def shingles(text: Column, k: int = 3) -> Column:
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", num_hashes: int = 64,
                        k: int = 3) -> DataFrame:
-    """MinHash signatures via explode -> per-shingle hashes -> min-agg.
+    """MinHash signatures via explode -> one string hash per shingle ->
+    per-lane long re-hash -> min-agg.
 
-    The explode (Generate) materializes shingles ONCE per document; the
-    num_hashes mins are map-side partial aggregates. This is both the
-    CSE-safe local formulation and the shape that scales: the shuffle
-    carries (key, 64 longs), never shingle text. (A single giant
-    array-expression signature was measured 100x slower: Catalyst CSE
-    cannot share the shingle computation across hash lanes.)"""
+    The explode (Generate) materializes each shingle's base hash ONCE —
+    the shingle STRING is hashed exactly once, and the num_hashes lanes
+    re-hash the resulting 8-byte long (xxhash64 over a long is ~3x
+    cheaper than over a 20-byte string, and the lanes reference the
+    Generate's output attribute so CollapseProject cannot re-inline the
+    string hash into every lane). The num_hashes mins are map-side
+    partial aggregates; the shuffle carries (key, 64 longs), never
+    shingle text. (A single giant array-expression signature was
+    measured 100x slower: Catalyst CSE cannot share the shingle
+    computation across hash lanes.) The exact pipeline is replicated
+    bit-for-bit by the pure-Python oracle in
+    tests/test_minhash_reference.py."""
     # small inputs often arrive as 1 file-partition; the explode multiplies
     # rows ~100x, so spread it across the cluster first
     par = df.sparkSession.sparkContext.defaultParallelism
     exploded = df.repartition(par).select(
         F.col(key_col).alias("k"),
-        F.explode(shingles(F.col(text_col), k)).alias("s"))
+        F.explode(F.transform(shingles(F.col(text_col), k),
+                              lambda s: F.xxhash64(s))).alias("h0"))
     hashed = exploded.select(
-        "k", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)])
+        "k", *[F.xxhash64("h0", F.lit(i)).alias(f"h{i}")
+               for i in range(num_hashes)])
     return hashed.groupBy("k").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 

@@ -92,19 +92,40 @@ def xxh64_int(value: int, seed: int) -> int:
     return _fmix(h)
 
 
+def xxh64_long(value: int, seed: int) -> int:
+    """Spark XXH64.hashLong (8-byte path, LongType arguments)."""
+    h = (seed + P5 + 8) & M64
+    k = (_rotl(((value & M64) * P2) & M64, 31) * P1) & M64
+    h ^= k
+    h = (_rotl(h, 27) * P1 + P4) & M64
+    return _fmix(h)
+
+
 def _signed(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
 def spark_xxhash64(*args, seed: int = 42) -> int:
-    """F.xxhash64(...) chaining: running hash seeds the next value."""
+    """F.xxhash64(...) chaining: running hash seeds the next value.
+    Ints are hashed via the 4-byte path (IntegerType literals); wrap a
+    value in Long() for the 8-byte LongType path."""
     h = seed
     for a in args:
         if isinstance(a, str):
             h = xxh64_bytes(a.encode("utf-8"), h)
+        elif isinstance(a, Long):
+            h = xxh64_long(a.v, h)
         else:
             h = xxh64_int(a, h)
     return _signed(h)
+
+
+class Long:
+    """Marker for 8-byte (LongType) xxhash64 arguments."""
+    __slots__ = ("v",)
+
+    def __init__(self, v: int):
+        self.v = v
 
 
 # --- pure-Python replica of the operator pipeline ---------------------------
@@ -119,8 +140,11 @@ def py_shingles(text: str, k: int = 3) -> list[str]:
 
 
 def py_signature(text: str, num_hashes: int, k: int = 3) -> list[int]:
-    sh = py_shingles(text, k)
-    return [min(spark_xxhash64(s, i) for s in sh) for i in range(num_hashes)]
+    # pipeline since r3: one string hash per shingle, lanes re-hash the
+    # long (mirrors minhash_signatures' explode(transform(.., xxhash64)))
+    h0s = [spark_xxhash64(s) for s in py_shingles(text, k)]
+    return [min(spark_xxhash64(Long(h0), i) for h0 in h0s)
+            for i in range(num_hashes)]
 
 
 def py_lsh_pairs(docs: dict[int, str], num_hashes: int, bands: int,
