@@ -245,6 +245,19 @@ def test_tables_adapter_parquet_roundtrip(spark, tmp_path):
     assert one.count() < 200
     assert "PartitionFilters" in plan
 
+    # dynamic partition overwrite: rewriting ONE bucket must not delete
+    # the others (default static overwrite would wipe the whole target)
+    before = {r.warc_bucket for r in back.select("warc_bucket").distinct().collect()}
+    assert len(before) >= 2
+    rows = back.filter(F.col("warc_bucket") == "2024-06-01").limit(3).collect()
+    assert rows
+    replacement = spark.createDataFrame(rows, back.schema)
+    write_pages(replacement, path)
+    after = read_pages(spark, path)
+    assert {r.warc_bucket for r in
+            after.select("warc_bucket").distinct().collect()} == before
+    assert after.filter(F.col("warc_bucket") == "2024-06-01").count() == len(rows)
+
 
 def test_multimodal_resize_and_frames(spark):
     df = spark.createDataFrame(
