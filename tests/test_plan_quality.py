@@ -117,7 +117,13 @@ def test_violations_table_filters_before_python(spark, pages_path):
     # exactly ONE Python eval: Catalyst must not clone the UDF below the
     # valid filter (InferFiltersFromGenerate + pushdown used to)
     assert len(py) == 1, plan
-    # toString prints parents first: the valid-bit Filter (the expanded
-    # __gjs_v predicate) must appear BELOW the Python node
+    # toString prints parents first: the valid-bit Filter must appear
+    # BELOW the Python node
     below = [l for l in lines[py[0] + 1:] if "Filter" in l and "__gjs_v" in l]
     assert below, "no valid-bit Filter below the Python node:\n" + plan
+    # ...and it must test the barriered ATTRIBUTE, not the substituted
+    # predicate: FilterExec does no subexpression elimination, so an
+    # inlined predicate re-evaluates the variant->map conversion once per
+    # keyword reference (measured 3x the pass-1 cost before the r3 fix)
+    assert all("try_variant_get" not in l for l in below), \
+        "valid-bit predicate was substituted into FilterExec:\n" + plan
