@@ -22,7 +22,20 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     """Persist ``df`` as a bucketed (and per-bucket sorted) table.
 
     Sorting within buckets lets the join skip its Sort nodes too —
-    SortMergeJoin reads both sides streaming."""
+    SortMergeJoin reads both sides streaming. Idempotent across sessions:
+    with an in-memory catalog, a rerun in a NEW session finds the managed
+    table's directory on disk but no catalog entry, and saveAsTable fails
+    with LOCATION_ALREADY_EXISTS even in overwrite mode — drop the table
+    AND delete any orphaned location first."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        sc = spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table}")
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     w = df.write.mode(mode).bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

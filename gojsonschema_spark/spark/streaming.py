@@ -127,7 +127,14 @@ def sessionize_batch(df: DataFrame, key_col: str = "user_id",
     ``tiebreak_col`` makes the intra-key order total when timestamps can
     collide (session membership itself only depends on the sorted
     timestamp multiset, but a total order keeps the cumulative sum
-    deterministic for row-level consumers)."""
+    deterministic for row-level consumers).
+
+    Scale note: the window shuffles ALL of a key's events to one task —
+    at web scale a bot key with 10^9 events serializes there (the
+    streaming twin has 3-scalar bounded state instead). For skewed
+    corpora, pre-filter keys above a count threshold (salted_counts in
+    ops/skew.py finds them without a skewed shuffle) and handle them via
+    the streaming operator or a coarse time-bucket pre-split."""
     from pyspark.sql import Window as W
 
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
