@@ -256,6 +256,38 @@ def test_unique_items_sql_path(spark):
     assert w.uses_column_plan and w.frontier_plan is not None
 
 
+def test_deep_scale_numeric_bounds_sql_vs_interpreter(spark):
+    """_num_dec's value-based lossiness (r3): renderings whose dropped
+    digits are all zeros stay on the exact DECIMAL path for bounds /
+    multipleOf / integer checks; only genuinely >18-scale values fall to
+    the documented double branch. Column plan must agree with the exact
+    interpreter on every form where the double branch happens to be exact
+    too (the fuzz gate excludes the residual divergence class)."""
+    schema = {"properties": {"n": {"type": "integer", "minimum": 1,
+                                   "multipleOf": 1}}, "required": ["n"]}
+    v = SparkValidator(schema)
+    assert v.uses_column_plan
+    u = SparkValidator(schema, force_udf=True)
+    docs = [
+        '{"n": 1}',
+        '{"n": 1.0000000000000000000}',        # scale 19, all zeros -> 1
+        '{"n": 0.5000000000000000001}',        # scale 19 nonzero: not int
+                                               # (double image 0.5 agrees)
+        '{"n": 1e2}',
+        '{"n": 100.000000000000000000000000}',  # scale 24, all zeros
+        '{"n": 2.00000000000000000000e2}',      # exp + deep zeros -> 200
+        '{"n": 0.5}',
+        '{"n": -1}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], ["doc"])
+    got_col = [r.valid for r in
+               v.validate_json(df, "doc", violations_col=None).collect()]
+    got_udf = [r.valid for r in
+               u.validate_json(df, "doc", violations_col=None).collect()]
+    assert got_col == got_udf == [True, True, False, True, True, True,
+                                  False, False]
+
+
 def test_custom_format_checker_both_paths(spark):
     """FormatRegistry.add()/remove() must flip verdicts identically on the
     column plan and the interpreter UDF (reference format_checkers.go:147-188:
