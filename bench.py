@@ -224,8 +224,14 @@ def scaling() -> None:
     thr_4n = results[8]["docs_per_sec_flagship"]
     eff = round((thr_4n / thr_n) / 4.0, 3)
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured scaling evidence
+    # append, never truncate: the file curates scaling evidence across
+    # rounds (tables + host-ceiling context); each run adds a dated section
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"""
+
+---
+
+# BENCH/BASELINE — measured scaling evidence ({time.strftime('%Y-%m-%d %H:%MZ', time.gmtime())})
 
 Same flagship job (validate {n_pages} Common-Crawl-style web pages:
 try_parse_json -> pure-SQL predicate DAG -> valid bit, no Python in the
