@@ -326,6 +326,12 @@ class SchemaCompiler:
                     url = u
         sub = SchemaCompiler(draft=self.draft, auto_detect=self.auto_detect,
                              validate_schema=False, formats=self.formats)
+        # share the document pool: a CUSTOM $schema URL registered via
+        # add_schema/add_schemas must resolve for meta-validation too
+        # (reference schemaLoader_test.go:78-110 TestCustomMetaSchema —
+        # the SchemaLoader's pool serves both roles there)
+        sub.store = self.store
+        sub.pool = self.pool
         meta = sub.compile(None, ref=url)
         result = meta.validate(doc)
         if not result.valid():

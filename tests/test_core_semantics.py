@@ -87,6 +87,72 @@ def test_fragment_compile():
     assert not schema.is_valid("a")
 
 
+def test_draft_cross_referencing():
+    """reference schemaLoader_test.go:127-163 TestDraftCrossReferencing:
+    a draft-07 root $ref'ing a registered document that declares draft-04
+    but uses the numeric exclusiveMinimum form. With auto-detection the
+    referenced doc compiles under ITS OWN $schema (draft4 -> compile
+    error, the bool form is required); with detection off, the preset
+    draft governs and >= draft6 accepts the numeric form."""
+    doc1 = ('{"$schema": "http://json-schema.org/draft-04/schema#",'
+            ' "id": "http://localhost:1234/file.json",'
+            ' "$id": "http://localhost:1234/file.json",'
+            ' "exclusiveMinimum": 5}')
+    doc2 = ('{"$schema": "http://json-schema.org/draft-07/schema#",'
+            ' "id": "http://localhost:1234/main.json",'
+            ' "$id": "http://localhost:1234/main.json",'
+            ' "$ref": "file.json"}')
+    for auto in (True, False):
+        for draft in ("draft4", "draft6", "draft7"):
+            c = SchemaCompiler(draft=draft, auto_detect=auto)
+            c.add_schema("http://localhost:1234/file.json", parse_json(doc1))
+            try:
+                c.compile(parse_json(doc2))
+                ok = True
+            except SchemaCompileError:
+                ok = False
+            assert ok == ((not auto) and draft in ("draft6", "draft7")), \
+                (auto, draft)
+
+
+def test_double_id_registration_rejected():
+    """reference schemaLoader_test.go:69-76 TestDoubleIDReference."""
+    c = SchemaCompiler()
+    c.add_schema("http://localhost:1234/test4.json", parse_json("{}"))
+    with pytest.raises(SchemaCompileError):
+        c.add_schema("http://localhost:1234/test4.json", parse_json('{"x":1}'))
+
+
+def test_custom_metaschema():
+    """reference schemaLoader_test.go:78-110 TestCustomMetaSchema: a
+    registered document can serve as the $schema for meta-validation —
+    here one that forbids the multipleOf keyword."""
+    meta = parse_json('{"$id": "http://localhost:1234/test5.json",'
+                      ' "properties": {"multipleOf": false}}')
+    c = SchemaCompiler(validate_schema=True)
+    c.add_schemas(meta)
+    c.compile(parse_json('{"$id": "http://localhost:1234/test6.json",'
+                         ' "$schema": "http://localhost:1234/test5.json",'
+                         ' "type": "string"}'))
+    c2 = SchemaCompiler(validate_schema=True)
+    c2.add_schemas(meta)
+    with pytest.raises(SchemaCompileError):
+        c2.compile(parse_json('{"$id": "http://localhost:1234/test7.json",'
+                              ' "$schema": "http://localhost:1234/test5.json",'
+                              ' "multipleOf": 5}'))
+
+
+def test_schema_detection_vs_preset():
+    """reference schemaLoader_test.go:112-126 TestSchemaDetection: the
+    numeric exclusiveMinimum under a draft-04 $schema errors with
+    auto-detection, compiles in hybrid mode with detection off."""
+    doc = ('{"$schema": "http://json-schema.org/draft-04/schema#",'
+           ' "exclusiveMinimum": 5}')
+    with pytest.raises(SchemaCompileError):
+        SchemaCompiler().compile(parse_json(doc))
+    SchemaCompiler(auto_detect=False).compile(parse_json(doc))
+
+
 def test_number_classification():
     # reference utils_test.go:35-59
     assert json_kind(parse_json("1.0e+2")) == "integer"
