@@ -46,8 +46,13 @@ class Num:
         return self._frac
 
     def is_int(self) -> bool:
-        """reference: utils.go:117-125 checkJSONInteger (big.Rat.IsInt)."""
-        return self.frac.denominator == 1
+        """reference: utils.go:117-125 checkJSONInteger (big.Rat.IsInt);
+        an unparseable lexical is "not an integer" (SetString ok=false),
+        not an exception (utils_test.go TestCheckJsonNumber "123number")."""
+        try:
+            return self.frac.denominator == 1
+        except ValueError:
+            return False
 
     def __float__(self) -> float:
         return float(self.lex)

@@ -38,7 +38,11 @@ def is_canonical(ref: str) -> bool:
 
 
 class PointerError(KeyError):
-    pass
+    def __str__(self):
+        # KeyError.__str__ reprs its argument, which would add quotes around
+        # the message; the reference surfaces the bare text (reference
+        # jsonPointer.go implGet "Object has no key '%s'").
+        return self.args[0] if self.args else ""
 
 
 def pointer_get(document, pointer: str):
