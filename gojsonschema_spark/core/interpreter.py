@@ -48,6 +48,19 @@ def _sub_validate(schema, node, instance, context) -> Result:
     return result
 
 
+# (subschema id, instance-node id) pairs on the ACTIVE $ref-delegation
+# stack. A revisit means a $ref cycle that consumed no input — infinitely
+# recursive per json-schema-core §"loops" ("behavior is undefined"; the
+# reference panics with a stack overflow there, validation.go has no
+# guard). We choose the greatest fixed point instead: the inner revisit
+# is vacuously valid. This provably agrees with the column plan's
+# depth-k-unroll-then-TRUE semantics (C ∧ ... ∧ C ∧ TRUE == C) and never
+# changes a verdict on any schema where the reference terminates — a
+# terminating run never revisits a pair. try/finally keeps the set
+# path-scoped, including during exception unwind.
+_REF_PATH: set = set()
+
+
 def _validate_recursive(schema, cur: SubSchema, node, result: Result, ctx: tuple):
     # boolean schema fast path
     if cur.pass_ is not None:
@@ -57,7 +70,14 @@ def _validate_recursive(schema, cur: SubSchema, node, result: Result, ctx: tuple
 
     # $ref delegation
     if cur.ref_schema is not None:
-        _validate_recursive(schema, cur.ref_schema, node, result, ctx)
+        key = (id(cur), id(node))
+        if key in _REF_PATH:
+            return  # no-progress $ref cycle: greatest fixed point => valid
+        _REF_PATH.add(key)
+        try:
+            _validate_recursive(schema, cur.ref_schema, node, result, ctx)
+        finally:
+            _REF_PATH.discard(key)
         return
 
     if node is None:

@@ -49,6 +49,30 @@ _PARSE_FAILED = [{
     "details": {},
 }]
 
+# Controlled verdict for documents whose validation exceeds the Python
+# recursion limit (instances nested thousands of levels deep). The Go
+# reference would grow its goroutine stack and eventually panic the whole
+# process; on a cluster a per-row verdict beats killing the job, so this
+# is a documented deviation (README "Differences from gojsonschema").
+# No-progress $ref cycles never reach this: the interpreter resolves them
+# to the greatest fixed point (core/interpreter.py _REF_PATH).
+_RECURSION_LIMIT = [{
+    "field": "(root)",
+    "keyword": "recursion_limit",
+    "message": "Document nesting exceeds the validation recursion limit",
+    "value": None,
+    "details": {},
+}]
+
+_WORKER_RECURSION_LIMIT = 20000
+
+
+def _raise_limit():
+    import sys
+
+    if sys.getrecursionlimit() < _WORKER_RECURSION_LIMIT:
+        sys.setrecursionlimit(_WORKER_RECURSION_LIMIT)
+
 
 def _loads(doc: str):
     return json.loads(doc, parse_float=Num, parse_int=Num)
@@ -77,13 +101,17 @@ def make_verdict_udf(compiled: CompiledSchema, with_violations: bool = True):
             instance = _loads(doc)
         except (ValueError, RecursionError):
             return False, _PARSE_FAILED
-        result = validate_document(compiled, instance)
+        try:
+            result = validate_document(compiled, instance)
+        except RecursionError:
+            return False, _RECURSION_LIMIT
         if result.valid():
             return True, []
         return False, _violation_rows(result) if with_violations else []
 
     @pandas_udf(VERDICT_SCHEMA)
     def verdict(docs: pd.Series) -> pd.DataFrame:
+        _raise_limit()
         out_valid, out_viol = [], []
         for doc in docs:
             ok, viol = run(doc)
@@ -115,11 +143,15 @@ def make_violations_udf(compiled: CompiledSchema):
             instance = _loads(doc)
         except (ValueError, RecursionError):
             return _PARSE_FAILED
-        result = validate_document(compiled, instance)
+        try:
+            result = validate_document(compiled, instance)
+        except RecursionError:
+            return _RECURSION_LIMIT
         return _violation_rows(result)
 
     @pandas_udf(VIOLATION_SCHEMA)
     def violations(docs: pd.Series, valid: pd.Series) -> pd.Series:
+        _raise_limit()
         return pd.Series([run(d, v) for d, v in zip(docs, valid)])
 
     # see make_verdict_udf: prevents Catalyst from cloning the eval node

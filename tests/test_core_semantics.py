@@ -227,3 +227,41 @@ def test_goregex_multiline_and_posix():
 def test_hostname_rejects_trailing_newline():
     assert default_registry.is_format("hostname", "example.com")
     assert not default_registry.is_format("hostname", "example.com\n")
+
+
+def test_no_progress_ref_cycle_greatest_fixed_point():
+    """Infinitely recursive schemas (json-schema-core "loops": undefined
+    behavior; the reference stack-overflows) terminate with the greatest
+    fixed point: the cyclic conjunct contributes only its own local
+    constraints (C ∧ C ∧ ... == C). README "Differences" item 3a."""
+    # pure self-cycle: no local constraints => everything valid
+    s = compile_schema({"allOf": [{"$ref": "#"}]})
+    assert s.validate(1).valid()
+    assert s.validate({"a": [1, "x"]}).valid()
+
+    # cycle with a local constraint: verdict == the constraint alone
+    s = compile_schema({
+        "definitions": {"D": {"allOf": [{"$ref": "#/definitions/D"}],
+                              "type": "integer"}},
+        "$ref": "#/definitions/D",
+    })
+    assert s.validate(7).valid()
+    r = s.validate("nope")
+    assert not r.valid()
+    assert r.errors[0].error_type == "invalid_type"
+
+    # mutual no-progress cycle through anyOf
+    s = compile_schema({
+        "definitions": {
+            "A": {"anyOf": [{"$ref": "#/definitions/B"}], "minimum": 3},
+            "B": {"anyOf": [{"$ref": "#/definitions/A"}]},
+        },
+        "$ref": "#/definitions/A",
+    })
+    assert s.validate(5).valid()
+    assert not s.validate(1).valid()
+
+    # a PROGRESS-consuming cycle is untouched: items descends the instance
+    s = compile_schema({"items": {"$ref": "#"}, "type": ["array", "integer"]})
+    assert s.validate([[1, 2], [[3]]]).valid()
+    assert not s.validate([["x"]]).valid()

@@ -209,3 +209,116 @@ def test_fuzz_column_plan_vs_interpreter(spark):
                 mismatches.append(f"{r.label}: expected {r.expected}, got {r.got}")
     assert not mismatches, (f"{len(mismatches)} divergences:\n"
                             + "\n".join(mismatches[:20]))
+
+
+# -- $ref graph fuzz ----------------------------------------------------------
+#
+# The base fuzzer never emits $ref; this arm generates definition graphs
+# (acyclic and cyclic, self- and mutual-recursion) and asserts the
+# SOUNDNESS of the hybrid unroll: whenever the depth-unrolled SQL plan's
+# verdict would diverge from the exact interpreter, the frontier
+# detector MUST have flagged that row as deep (the engine then
+# re-verdicts it in Python, so a flagged row is exact by construction).
+
+REF_SEED = 20260817
+N_REF_SCHEMAS = 60
+DOCS_PER_REF_SCHEMA = 10
+
+
+def _gen_ref_schema(rng: random.Random, n_defs: int = 3) -> dict:
+    names = [f"D{i}" for i in range(n_defs)]
+
+    def ref_to() -> dict:
+        return {"$ref": f"#/definitions/{rng.choice(names)}"}
+
+    defs = {}
+    for nm in names:
+        base = _gen_schema(rng, 1)
+        if not isinstance(base, dict):
+            base = {}
+        base.pop("$schema", None)
+        slot = rng.choice(["prop", "items", "allOf", "anyOf", "none"])
+        if slot == "prop":
+            base.setdefault("properties", {})[rng.choice("abcde")] = ref_to()
+        elif slot == "items":
+            base["items"] = ref_to()
+        elif slot == "allOf":
+            base.setdefault("allOf", []).append(ref_to())
+        elif slot == "anyOf":
+            base.setdefault("anyOf", []).append(ref_to())
+        defs[nm] = base
+    root: dict = {"definitions": defs}
+    root["properties"] = {c: ref_to() for c in rng.sample("abcde", k=2)}
+    if rng.random() < 0.4:
+        root["items"] = ref_to()
+    if rng.random() < 0.3:
+        return {"definitions": defs, "allOf": [ref_to(), root | {"definitions": {}}]}
+    return root
+
+
+def _gen_ref_doc(rng: random.Random, depth: int):
+    """Documents over keys a-e (the keys the ref graph targets), nesting
+    past the depth-3 unroll so the frontier actually fires."""
+    if depth <= 0 or rng.random() < 0.25:
+        return rng.choice([1, 7, -3, 0.5, "a", "xy", "2020-06-15", True, None])
+    if rng.random() < 0.5:
+        return [_gen_ref_doc(rng, depth - 1) for _ in range(rng.randint(0, 3))]
+    return {k: _gen_ref_doc(rng, depth - 1)
+            for k in rng.sample("abcde", k=rng.randint(0, 3))}
+
+
+def test_fuzz_ref_graphs_frontier_sound(spark):
+    rng = random.Random(REF_SEED)
+    corpus = []
+    n_schemas = n_plan = 0
+    while n_schemas < N_REF_SCHEMAS:
+        schema = _gen_ref_schema(rng)
+        n_schemas += 1
+        try:
+            v = SparkValidator(schema)
+        except Exception:
+            continue
+        if not v.uses_column_plan:
+            continue
+        n_plan += 1
+        compiled = SchemaCompiler(auto_detect=True).compile(schema)
+        rows = []
+        for d in range(DOCS_PER_REF_SCHEMA):
+            doc_json = json.dumps(_gen_ref_doc(rng, rng.randint(2, 7)))
+            expected = validate_document(compiled, parse_json(doc_json)).valid()
+            rows.append((doc_json, expected,
+                         f"refseed{REF_SEED}/schema{n_schemas}/doc{d}: "
+                         f"{json.dumps(schema)[:140]} || {doc_json[:80]}"))
+        corpus.append((v, rows))
+    # cyclic graphs may retry at depth 1 or fall off the plan entirely;
+    # most should still compile to (hybrid) SQL
+    assert n_plan >= 0.6 * n_schemas, f"{n_plan}/{n_schemas} on SQL plan"
+
+    unsound = []
+    n_deep = n_rows = 0
+    for start in range(0, len(corpus), 15):
+        chunk = corpus[start:start + 15]
+        data = []
+        for sid, (v, rows) in enumerate(chunk):
+            for doc_json, expected, label in rows:
+                data.append((sid, doc_json, expected, label))
+        df = spark.createDataFrame(data, ["sid", "doc", "expected", "label"])
+        var = F.try_parse_json(F.col("doc"))
+        pred = deep = None
+        for sid, (v, _) in enumerate(chunk):
+            branch = v.column_plan(var)
+            fr = (v.frontier_plan(var) if v.frontier_plan is not None
+                  else F.lit(False))
+            pred = (F.when(F.col("sid") == sid, branch) if pred is None
+                    else pred.when(F.col("sid") == sid, branch))
+            deep = (F.when(F.col("sid") == sid, fr) if deep is None
+                    else deep.when(F.col("sid") == sid, fr))
+        for r in df.withColumn("got", pred).withColumn("deep", deep).collect():
+            n_rows += 1
+            n_deep += bool(r.deep)
+            if not r.deep and r.got != r.expected:
+                unsound.append(f"{r.label}: expected {r.expected}, got {r.got}")
+    assert not unsound, (f"{len(unsound)} UNSOUND shallow rows (frontier "
+                         f"missed a divergence):\n" + "\n".join(unsound[:20]))
+    # the corpus must actually exercise both regimes
+    assert 0 < n_deep < n_rows, f"degenerate corpus: {n_deep}/{n_rows} deep"

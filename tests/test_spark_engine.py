@@ -363,3 +363,19 @@ def test_two_pass_violations(spark):
     msgs = {r.keyword: r.message for r in viol if r.id == "b"}
     assert msgs["required"] == "url is required"
     assert msgs["pattern"] == "Does not match pattern '^[a-z]{2}$'"
+
+
+def test_recursion_limit_verdict_not_job_crash(spark):
+    """README "Differences" item 3b: an instance nested past the worker
+    recursion limit yields a per-document `recursion_limit` violation
+    (invalid) on the UDF path instead of killing the executor."""
+    deep = "[" * 10000 + "]" * 10000  # parses; validation frames blow past it
+    shallow = "[[1]]"
+    v = SparkValidator({"items": {"$ref": "#"},
+                        "type": ["array", "integer"]}, force_udf=True)
+    df = spark.createDataFrame([("deep", deep), ("ok", shallow)], ["id", "doc"])
+    out = {r.id: r for r in
+           v.validate_json(df, "doc").select("id", "valid", "violations").collect()}
+    assert out["ok"].valid
+    assert not out["deep"].valid
+    assert out["deep"].violations[0].keyword == "recursion_limit"
