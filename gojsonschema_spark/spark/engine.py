@@ -24,7 +24,7 @@ from ..core.compiler import Draft, SchemaCompiler
 from .columns import ColumnPlanCompiler, UnsupportedSchema
 from .udf import make_verdict_udf, make_violations_udf
 
-__all__ = ["SparkValidator"]
+__all__ = ["SparkValidator", "MultiSchemaValidator"]
 
 
 def _barrier(df: DataFrame, name: str, expr: Column) -> DataFrame:
@@ -163,3 +163,53 @@ class SparkValidator:
                            F.col("v.message").alias("message"),
                            F.col("v.value").alias("value"),
                            F.col("v.details").alias("details")))
+
+
+class MultiSchemaValidator:
+    """Per-row schema dispatch: each document validates against the schema
+    selected by a key column (page kind, API version, tenant).
+
+    A Common-Crawl-style corpus is heterogeneous — articles, products,
+    events each carry their own contract. The reference can only do this
+    row-at-a-time in host code (pick a *Schema, call Validate per doc);
+    set-at-a-time the right shape is ONE shared variant parse behind a
+    Generate barrier and a CASE WHEN chain of the per-kind column plans,
+    so the whole dispatch stays inside whole-stage codegen. Kinds whose
+    schema needs the interpreter (cyclic frontier, bignum, ...) fall back
+    per-kind on a masked UDF input: Arrow ships only that kind's rows,
+    never the corpus.
+
+    ``on_unknown`` decides rows whose kind has no schema: "null" (not
+    validated, the default), "valid", or "invalid".
+    """
+
+    def __init__(self, schemas: dict, on_unknown: str = "null", **kw):
+        if on_unknown not in ("null", "valid", "invalid"):
+            raise ValueError("on_unknown must be null|valid|invalid")
+        self.validators = {k: SparkValidator(s, **kw) for k, s in schemas.items()}
+        self.on_unknown = on_unknown
+
+    def validate_json(self, df: DataFrame, doc_col: str, kind_col: str,
+                      valid_col: str = "valid") -> DataFrame:
+        doc, kind = F.col(doc_col), F.col(kind_col)
+        df = _barrier(df, "__gjs_v", F.try_parse_json(doc))
+        var = F.col("__gjs_v")
+        expr = None
+        for k, v in self.validators.items():
+            if v.column_plan is not None and v.frontier_plan is None:
+                branch = v.column_plan(var)
+            elif v.column_plan is not None:
+                verdict = make_verdict_udf(v.compiled, with_violations=False)
+                deep = v.frontier_plan(var)
+                branch = (F.when(deep, verdict(F.when(deep & (kind == k), doc))["valid"])
+                           .otherwise(v.column_plan(var)))
+            else:
+                verdict = make_verdict_udf(v.compiled, with_violations=False)
+                branch = verdict(F.when(kind == k, doc))["valid"]
+            expr = (F.when(kind == F.lit(k), branch) if expr is None
+                    else expr.when(kind == F.lit(k), branch))
+        if expr is None:
+            expr = F.lit(None).cast("boolean")
+        if self.on_unknown != "null":
+            expr = expr.otherwise(F.lit(self.on_unknown == "valid"))
+        return df.withColumn(valid_col, expr).drop("__gjs_v")

@@ -379,3 +379,67 @@ def test_recursion_limit_verdict_not_job_crash(spark):
     assert out["ok"].valid
     assert not out["deep"].valid
     assert out["deep"].violations[0].keyword == "recursion_limit"
+
+
+def test_multi_schema_dispatch_verdicts(spark):
+    """MultiSchemaValidator: per-kind verdicts equal the single-schema
+    engine's, one shared parse, unknown kinds per on_unknown."""
+    from gojsonschema_spark.spark.engine import MultiSchemaValidator
+
+    schemas = {
+        "article": {"type": "object", "required": ["title"],
+                    "properties": {"title": {"type": "string", "minLength": 1}}},
+        "product": {"type": "object",
+                    "properties": {"price": {"type": "number", "minimum": 0}}},
+        # bignum multipleOf forces this kind off the column plan (udf branch)
+        "metric": {"multipleOf": 0.0001},
+    }
+    rows = [
+        ("a1", "article", '{"title": "hello"}'),
+        ("a2", "article", '{"title": ""}'),
+        ("a3", "article", '{}'),
+        ("p1", "product", '{"price": 3.5}'),
+        ("p2", "product", '{"price": -1}'),
+        ("m1", "metric", "19.9999999999999"),
+        ("m2", "metric", "0.0002"),
+        ("x1", "video", '{"anything": 1}'),
+    ]
+    df = spark.createDataFrame(rows, ["id", "kind", "doc"])
+
+    mv = MultiSchemaValidator(schemas)
+    got = {r.id: r.valid for r in mv.validate_json(df, "doc", "kind").collect()}
+
+    # expected: each kind through the single-schema engine
+    for k, schema in schemas.items():
+        v = SparkValidator(schema)
+        sub = df.filter(F.col("kind") == k)
+        for r in v.validate_json(sub, "doc", violations_col=None).collect():
+            assert got[r.id] == r.valid, (r.id, got[r.id], r.valid)
+    assert got["x1"] is None  # default on_unknown="null"
+
+    strict = MultiSchemaValidator(schemas, on_unknown="invalid")
+    got2 = {r.id: r.valid for r in strict.validate_json(df, "doc", "kind").collect()}
+    assert got2["x1"] is False and got2["a1"] is True
+
+    lax = MultiSchemaValidator(schemas, on_unknown="valid")
+    got3 = {r.id: r.valid for r in lax.validate_json(df, "doc", "kind").collect()}
+    assert got3["x1"] is True and got3["a2"] is False
+
+
+def test_multi_schema_dispatch_plan_quality(spark):
+    """All-pure-SQL kinds: the dispatch plan has NO Python eval node and
+    exactly one variant parse shared by every branch."""
+    from gojsonschema_spark.spark.engine import MultiSchemaValidator
+
+    mv = MultiSchemaValidator({
+        "a": {"type": "object", "required": ["x"]},
+        "b": {"type": "array", "minItems": 1},
+        "c": {"type": "string", "pattern": "^h"},
+    })
+    df = spark.createDataFrame([("a", '{"x":1}')], ["kind", "doc"])
+    out = mv.validate_json(df, "doc", "kind")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    # the variant parse (rendered as VariantExpressionEvalUtils.parseJson)
+    # happens once in the Generate barrier; all branches read the attribute
+    assert plan.count("parseJson") == 1, plan
