@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["tokenize", "token_count", "quality_score", "language_id",
-           "fingerprint", "normalize_text"]
+           "fingerprint", "normalize_text", "repetition_metrics"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -95,3 +95,53 @@ def language_id(text: Column) -> Column:
 def _rx(s: str) -> str:
     import re as _re
     return _re.escape(s)
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition fractions (the Gopher-style repetition
+    filters, Rae et al. 2021 §A1.1): duplicate-line fraction (by line
+    count and by character mass) and the character fraction covered by
+    the most frequent word 2-gram.
+
+    Everything is computed per row with array higher-order functions —
+    at 100 TB this is a pure map-side pass: zero shuffle, no Python, and
+    the only cost is O(lines + distinct_grams x grams) inside codegen.
+    An explode->groupBy formulation would shuffle (doc_id, gram) pairs
+    for a metric that never crosses document boundaries.
+    """
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    toks = tokenize(F.lower(text))
+    # word 2-grams as "a b" strings
+    grams = F.when(F.size(toks) >= 2, F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+
+    def _dup_count(arr):
+        # elements beyond each value's first occurrence
+        return F.size(arr) - F.size(F.array_distinct(arr))
+
+    def _dup_char_mass(arr):
+        # characters of occurrences past the first, per distinct value
+        return F.aggregate(
+            F.array_distinct(arr), F.lit(0),
+            lambda acc, v: acc + F.length(v) *
+            (F.size(F.filter(arr, lambda x: x == v)) - 1))
+
+    top_gram_chars = F.aggregate(
+        F.array_distinct(grams), F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.length(g) * F.size(F.filter(grams, lambda x: x == g))))
+
+    nz = lambda c, denom: F.when(denom > 0, c / denom).otherwise(F.lit(0.0))
+    total_line_chars = F.aggregate(lines, F.lit(0),
+                                   lambda acc, l: acc + F.length(l))
+    total_gram_chars = F.aggregate(grams, F.lit(0),
+                                   lambda acc, g: acc + F.length(g))
+    return df.select(
+        "*",
+        nz(_dup_count(lines), F.size(lines)).alias("dup_line_frac"),
+        nz(_dup_char_mass(lines), total_line_chars).alias("dup_line_char_frac"),
+        nz(top_gram_chars, total_gram_chars).alias("top_bigram_char_frac"),
+    )

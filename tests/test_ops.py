@@ -405,3 +405,37 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bk_events")
         spark.sql("DROP TABLE IF EXISTS bk_users")
+
+
+def test_repetition_metrics(spark):
+    """Gopher-style intra-doc repetition: hand-computed fractions, and the
+    plan is a pure map-side pass (no Exchange, no Python)."""
+    from gojsonschema_spark.ops.text import repetition_metrics
+
+    df = spark.createDataFrame([
+        ("a", "one two one two\nline b\nline b\n"),
+        ("b", "x\ny\nz"),
+        ("c", ""),
+        ("d", "same\nsame\nsame\nsame"),
+    ], ["id", "text"])
+    out = {r.id: r for r in repetition_metrics(df).collect()}
+
+    # a: lines [one two one two, line b, line b] -> 1 dup of 3;
+    #    dup char mass 6 of 27; bigrams: "one two"x2 (14 chars) tops 47
+    assert abs(out["a"].dup_line_frac - 1 / 3) < 1e-12
+    assert abs(out["a"].dup_line_char_frac - 6 / 27) < 1e-12
+    assert abs(out["a"].top_bigram_char_frac - 14 / 47) < 1e-12
+    # b: no dup lines; top bigram "x y" covers 3 of 6 gram chars
+    assert out["b"].dup_line_frac == 0.0
+    assert abs(out["b"].top_bigram_char_frac - 0.5) < 1e-12
+    # c: empty text -> all zeros (no div-by-zero)
+    assert (out["c"].dup_line_frac, out["c"].dup_line_char_frac,
+            out["c"].top_bigram_char_frac) == (0.0, 0.0, 0.0)
+    # d: 4 identical lines -> 3/4 dup, 3/4 char mass; bigram "same same"
+    #    covers all gram chars
+    assert abs(out["d"].dup_line_frac - 0.75) < 1e-12
+    assert abs(out["d"].dup_line_char_frac - 0.75) < 1e-12
+    assert out["d"].top_bigram_char_frac == 1.0
+
+    plan = repetition_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
