@@ -22,7 +22,8 @@ from .text import normalize_text, tokenize
 
 __all__ = ["exact_duplicates", "shingles", "minhash_signatures",
            "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs",
-           "embedding_near_dups", "lsh_embedding_near_dups"]
+           "embedding_near_dups", "lsh_embedding_near_dups",
+           "duplicate_paragraphs", "contamination_check"]
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -248,3 +249,69 @@ def lsh_embedding_near_dups(df: DataFrame, planes: list[list[float]],
         F.explode(F.array(F.round(_cosine(F.col("va"), F.col("vb")),
                                   round_to))).alias("cosine"))
     return scored.filter(F.col("cosine") >= threshold).dropDuplicates(["a", "b"])
+
+
+def duplicate_paragraphs(df: DataFrame, text_col: str = "text",
+                         key_col: str = "doc_id",
+                         min_chars: int = 16,
+                         max_members: int = 16) -> DataFrame:
+    """Cross-corpus paragraph-level duplicates (the RefinedWeb/C4-style
+    line-dedup unit): one row per paragraph fingerprint appearing in 2+
+    documents, with bounded exemplar (doc, paragraph-index) members.
+
+    Scale shape: explode multiplies cardinality ~20x but each row shrinks
+    to (16-byte fp, key, idx); the shuffle keys on fp with the same
+    bounded-members discipline as :func:`exact_duplicates`. Paragraphs
+    shorter than ``min_chars`` (headers, "Home", timestamps) are dropped
+    — they are near-universal and would all be degenerate hot keys."""
+    from pyspark.sql.window import Window
+
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n{2,}"),
+                    lambda p: normalize_text(p)),
+        lambda p: F.length(p) >= min_chars)
+    exploded = (df.select(F.col(key_col),
+                          F.posexplode(paras).alias("para_idx", "para"))
+                  .select(F.md5(F.col("para")).alias("fp"),
+                          F.col(key_col), F.col("para_idx")))
+    w = Window.partitionBy("fp").orderBy(key_col, "para_idx")
+    ranked = exploded.withColumn("__rn", F.row_number().over(w))
+    member = F.struct(F.col(key_col), F.col("para_idx"))
+    return (ranked.groupBy("fp")
+                  .agg(F.count(F.lit(1)).alias("n_dups"),
+                       F.count_distinct(F.col(key_col)).alias("n_docs"),
+                       F.sort_array(F.collect_list(
+                           F.when(F.col("__rn") <= max_members, member)))
+                        .alias("members"))
+                  .filter(F.col("n_docs") >= 2))
+
+
+def contamination_check(df: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", key_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        n: int = 13) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its word
+    ``n``-grams appear in any benchmark text (the standard 13-gram
+    overlap test, GPT-3 appendix C / PaLM §7).
+
+    Scale shape: the corpus side explodes to DISTINCT per-doc n-gram
+    hashes; the benchmark side (thousands of rows, not 10^12) builds a
+    distinct-hash dim that Spark broadcasts — the join is map-side, the
+    only shuffle is the final per-doc count. Returns one row per document
+    with any overlap: (key, n_contaminated_ngrams)."""
+
+    def grams(col: Column) -> Column:
+        toks = F.filter(F.split(F.lower(col), r"\W+"), lambda t: t != "")
+        return F.when(F.size(toks) >= n, F.array_distinct(F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda t, i: F.xxhash64(F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)])),
+        ))).otherwise(F.array().cast("array<bigint>"))
+
+    corpus = (df.select(F.col(key_col),
+                        F.explode(grams(F.col(text_col))).alias("g")))
+    bench = (benchmark.select(F.explode(grams(F.col(bench_text_col)))
+                              .alias("g")).distinct())
+    return (corpus.join(F.broadcast(bench), "g")
+                  .groupBy(key_col)
+                  .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams")))

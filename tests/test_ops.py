@@ -439,3 +439,41 @@ def test_repetition_metrics(spark):
 
     plan = repetition_metrics(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_duplicate_paragraphs(spark):
+    from gojsonschema_spark.ops.dedup import duplicate_paragraphs
+
+    df = spark.createDataFrame([
+        ("d1", "This paragraph is shared across documents!\n\nUnique to d1 here today."),
+        ("d2", "This paragraph is shared across documents!\n\nsomething else entirely."),
+        ("d3", "short\n\nAnother unique paragraph lives here."),
+        # same paragraph twice WITHIN one doc: n_dups 2 but n_docs 1 -> excluded
+        ("d4", "repeated inside one doc only\n\nrepeated inside one doc only"),
+    ], ["doc_id", "text"])
+    rows = duplicate_paragraphs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_dups == 2 and r.n_docs == 2
+    assert [(m.doc_id, m.para_idx) for m in r.members] == [("d1", 0), ("d2", 0)]
+
+
+def test_contamination_check(spark):
+    from gojsonschema_spark.ops.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [("q", "the quick brown fox jumps over the lazy dog and then runs far away home")],
+        ["id", "text"])  # 15 words -> 3 distinct 13-grams
+    corp = spark.createDataFrame([
+        ("c1", "prefix words the quick brown fox jumps over the lazy dog and then runs far away home suffix"),
+        ("c2", "completely unrelated text with many many words that do not overlap the benchmark at all okay"),
+        ("c3", "too short to have any thirteen grams"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r.n_contaminated_ngrams
+           for r in contamination_check(corp, bench).collect()}
+    assert out == {"c1": 3}
+
+    # scale shape: benchmark dim is broadcast, not shuffled
+    plan = (contamination_check(corp, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
