@@ -628,6 +628,52 @@ def q_multimodal_features(spark, sf_dir):
         "n_bytes")
 
 
+def q_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus paragraph dedup (ops/dedup.py::duplicate_paragraphs).
+
+    documents.text is single-line, so synthesize a two-paragraph body:
+    the 5-word prefix (which genuinely collides across docs) plus the
+    full text."""
+    from gojsonschema_spark.ops.dedup import duplicate_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    two_para = docs.withColumn(
+        "body",
+        F.concat(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " "),
+                 F.lit("\n\n"), F.col("text")))
+    return (duplicate_paragraphs(two_para, text_col="body", key_col="doc_id")
+            .select("fp", "n_dups", "n_docs"))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition fractions (ops/text.py::repetition_metrics).
+
+    documents.text is single-line; word-per-line form makes the
+    duplicate-line fractions a real signal (repeated-word mass)."""
+    from gojsonschema_spark.ops.text import repetition_metrics
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.replace(F.lower(F.col("text")), F.lit(" "),
+                              F.lit("\n")).alias("text")))
+    return (repetition_metrics(docs)
+            .select("doc_id", "dup_line_frac", "dup_line_char_frac",
+                    "top_bigram_char_frac"))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/dedup.py::contamination_check):
+    13-gram overlap of every document against the doc_id<10 'benchmark'
+    slice (each benchmark doc flags itself; any true cross-doc overlap
+    would appear identically in the oracle)."""
+    from gojsonschema_spark.ops.dedup import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10)
+    return contamination_check(docs, bench, text_col="text",
+                               key_col="doc_id", bench_text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -638,10 +684,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly 50 entries (the driver runs the first 50 in iteration
-    order — round-2 showed a hard cap): pipeline/analytics queries first,
-    then the engine keyword rows; the 20 format/scalar micro-rows of
-    round 2 are merged into 4 bundles with per-keyword valid_* columns."""
+    """First 50 entries fill the driver gate exactly (it runs the first
+    50 in iteration order — round-2 showed a hard cap): pipeline/
+    analytics queries first, then the engine keyword rows; the 20
+    format/scalar micro-rows of round 2 are merged into 4 bundles with
+    per-keyword valid_* columns. Entries 51+ are oracled via
+    tools/check_oracle.py instead of the driver."""
     return {
         # training-data pipeline + analytics breadth
         "dedup_exact": q_dedup_exact,
@@ -699,6 +747,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_format_uris": q_kw_format_uris,
         "kw_format_tokens": q_kw_format_tokens,
         "kw_format_custom": q_kw_format_custom,
+        # entries past the driver's 50-row cap: not driver-run, but fully
+        # oracled and exercised by tools/check_oracle.py
+        "dup_paragraphs": q_dup_paragraphs,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
     }
 
 
@@ -997,6 +1050,76 @@ def oracle_sql() -> dict[str, str]:
                        AS feature_bytes,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "dup_paragraphs": r"""
+            WITH paras AS (
+              SELECT doc_id, unnest(plist) AS para
+              FROM (
+                SELECT doc_id,
+                       list_filter(
+                         list_transform(
+                           string_split_regex(
+                             array_to_string(string_split(text, ' ')[1:5], ' ')
+                               || chr(10) || chr(10) || text,
+                             '\n{2,}'),
+                           p -> trim(regexp_replace(lower(p), '\s+', ' ', 'g'))),
+                         p -> length(p) >= 16) AS plist
+                FROM documents)
+            )
+            SELECT md5(para) AS fp, count(*) AS n_dups,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM paras GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> w <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, toks,
+                     list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                                    i -> toks[i] || ' ' || toks[i+1]) AS grams
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN len(toks) > 0 THEN
+                (len(toks) - len(list_distinct(toks))) / len(toks)
+                ELSE 0.0 END AS dup_line_frac,
+              CASE WHEN coalesce(list_sum(list_transform(toks, v -> length(v))), 0) > 0 THEN
+                list_sum(list_transform(list_distinct(toks),
+                     v -> length(v) * (len(list_filter(toks, x -> x = v)) - 1)))
+                  / list_sum(list_transform(toks, v -> length(v)))
+                ELSE 0.0 END AS dup_line_char_frac,
+              CASE WHEN coalesce(list_sum(list_transform(grams, gg -> length(gg))), 0) > 0 THEN
+                list_max(list_transform(list_distinct(grams),
+                     gg -> length(gg) * len(list_filter(grams, x -> x = gg))))
+                  / list_sum(list_transform(grams, gg -> length(gg)))
+                ELSE 0.0 END AS top_bigram_char_frac
+            FROM g
+        """,
+        "contamination": r"""
+            WITH grams AS (
+              SELECT doc_id, unnest(glist) AS g
+              FROM (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(len(toks) - 12, 0)),
+                         i -> array_to_string(toks[i:i+12], ' '))) AS glist
+                FROM (
+                  SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\W+'),
+                                     t -> t <> '') AS toks
+                  FROM documents))
+            ),
+            bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id < 10
+            )
+            SELECT grams.doc_id, count(*) AS n_contaminated_ngrams
+            FROM grams JOIN bench USING (g)
+            GROUP BY grams.doc_id
         """,
         # minhash_lsh_pairs, simhash: not SQL-expressible -> rows-only check
     })
