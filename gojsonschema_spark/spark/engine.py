@@ -213,3 +213,41 @@ class MultiSchemaValidator:
         if self.on_unknown != "null":
             expr = expr.otherwise(F.lit(self.on_unknown == "valid"))
         return df.withColumn(valid_col, expr).drop("__gjs_v")
+
+    def violations_table(self, df: DataFrame, doc_col: str, kind_col: str,
+                         key_cols: list[str]) -> DataFrame:
+        """Exploded violations for the dispatched corpus, in ONE scan:
+        the dispatch valid bit prunes valid rows first (same barrier
+        discipline as SparkValidator.violations_table), then a CASE
+        chain of per-kind elaboration UDFs runs over the invalid tail
+        with kind-masked payloads. A per-kind filter+union would rescan
+        the corpus once per kind."""
+        out = self.validate_json(df, doc_col, kind_col)
+        out = _barrier(out, "__gjs_vbit", F.col("valid"))
+        bad = (out.filter(F.col("__gjs_vbit").isNotNull()
+                          & ~F.col("__gjs_vbit")).drop("__gjs_vbit"))
+        doc, kind = F.col(doc_col), F.col(kind_col)
+        expr = None
+        for k in self.validators:
+            elaborate = make_violations_udf(self.validators[k].compiled)
+            branch = elaborate(F.when(kind == k, doc), F.lit(False))
+            expr = (F.when(kind == F.lit(k), branch) if expr is None
+                    else expr.when(kind == F.lit(k), branch))
+        unknown_row = F.array(F.struct(
+            F.lit("(root)").alias("field"),
+            F.lit("unknown_kind").alias("keyword"),
+            F.concat(F.lit("No schema registered for kind '"),
+                     F.coalesce(kind, F.lit("null")),
+                     F.lit("'")).alias("message"),
+            kind.alias("value"),
+            F.create_map().cast("map<string,string>").alias("details")))
+        expr = (unknown_row if expr is None else expr.otherwise(unknown_row))
+        bad = bad.withColumn("violations", expr)
+        return (bad.select(*key_cols, kind.alias("kind"),
+                           F.explode("violations").alias("v"))
+                   .select(*key_cols, "kind",
+                           F.col("v.field").alias("field"),
+                           F.col("v.keyword").alias("keyword"),
+                           F.col("v.message").alias("message"),
+                           F.col("v.value").alias("value"),
+                           F.col("v.details").alias("details")))

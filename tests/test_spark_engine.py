@@ -443,3 +443,32 @@ def test_multi_schema_dispatch_plan_quality(spark):
     # the variant parse (rendered as VariantExpressionEvalUtils.parseJson)
     # happens once in the Generate barrier; all branches read the attribute
     assert plan.count("parseJson") == 1, plan
+
+
+def test_multi_schema_violations_table(spark):
+    """One-scan violations for the dispatched corpus; unknown kinds get a
+    synthetic unknown_kind row when on_unknown='invalid'."""
+    from gojsonschema_spark.spark.engine import MultiSchemaValidator
+
+    mv = MultiSchemaValidator({
+        "article": {"type": "object", "required": ["title"]},
+        "product": {"type": "object",
+                    "properties": {"price": {"minimum": 0}}},
+    }, on_unknown="invalid")
+    df = spark.createDataFrame([
+        ("a1", "article", '{"title": "x"}'),
+        ("a2", "article", '{}'),
+        ("p1", "product", '{"price": -4}'),
+        ("x1", "video", "{}"),
+    ], ["id", "kind", "doc"])
+    rows = mv.violations_table(df, "doc", "kind", ["id"]).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append((r.kind, r.keyword, r.field))
+    assert "a1" not in by_id
+    assert by_id["a2"] == [("article", "required", "(root)")]
+    assert by_id["p1"] == [("product", "number_gte", "price")]
+    assert by_id["x1"] == [("video", "unknown_kind", "(root)")]
+    # reference locale rendering still flows through per-kind compilers
+    msgs = {r.id: r.message for r in rows}
+    assert msgs["a2"] == "title is required"
