@@ -140,6 +140,28 @@ def bench_queries(spark) -> dict[str, float]:
             .select("embedding").collect()[0][0]]
     run("ann_topk", lambda: sim.brute_force_topk(emb, qvec, k=10).collect())
 
+    # per-row schema dispatch: three page kinds, one shared parse, no
+    # Python (all three kinds stay on the column plan)
+    from gojsonschema_spark.ops.webpages import FLAGSHIP_SCHEMA
+    from gojsonschema_spark.spark.engine import MultiSchemaValidator
+    mv = MultiSchemaValidator({
+        "page": FLAGSHIP_SCHEMA,
+        "stub": {"type": "object", "required": ["url"]},
+        "feed": {"type": "object",
+                 "properties": {"text": {"type": "string", "minLength": 1}}},
+    })
+    kinds = docs.withColumn(
+        "kind", F.element_at(F.array(F.lit("page"), F.lit("stub"), F.lit("feed")),
+                             ((F.xxhash64("doc") % 3 + 3) % 3 + 1).cast("int")))
+    run("multischema_dispatch", lambda: mv.validate_json(kinds, "doc", "kind")
+        .agg(F.sum(F.col("valid").cast("int"))).collect())
+
+    # Gopher repetition fractions: pure map-side pass (no shuffle/Python)
+    run("repetition_metrics", lambda: tx.repetition_metrics(
+        pages.select("text"))
+        .agg(F.round(F.avg("dup_line_frac"), 6),
+             F.round(F.avg("top_bigram_char_frac"), 6)).collect())
+
     return timings
 
 
