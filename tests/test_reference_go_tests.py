@@ -246,3 +246,33 @@ def test_custom_format_typed_checkers():
     ))
     assert len(invalid.errors) == 5
     assert {e.error_type for e in invalid.errors} == {"format"}
+
+
+def test_file_with_space(tmp_path):
+    """reference schema_test.go:275 TestFileWithSpace: a file:// reference
+    whose path contains a literal space loads (the reference passes the
+    unescaped OS path through filepath.ToSlash)."""
+    from gojsonschema_spark.io.loaders import load_reference
+
+    f = tmp_path / "file with space.json"
+    f.write_text('{"foo": true}')
+    compiler = SchemaCompiler()
+    doc = load_reference(compiler, "file://" + str(f).replace("\\", "/"))
+    assert doc == {"foo": True}
+
+
+def test_fragment_loader_reference_fixture(tmp_path):
+    """reference schema_test.go:239 TestFragmentLoader: compiling from a
+    file://...#/definitions/x fragment validates against just that
+    subschema; the invalid document yields exactly one invalid_type."""
+    from gojsonschema_spark.io.loaders import load_reference
+
+    f = tmp_path / "fragment_schema.json"
+    f.write_text('{"definitions": {"x": {"type": "integer"}}}')
+    compiler = SchemaCompiler()
+    uri = "file://" + str(f).replace("\\", "/")
+    load_reference(compiler, uri)
+    schema = compiler.compile(string_loader(f'{{"$ref": "{uri}#/definitions/x"}}'))
+    assert schema.validate(string_loader("5")).valid()
+    bad = schema.validate(string_loader('"a"'))
+    assert [e.error_type for e in bad.errors] == ["invalid_type"]
