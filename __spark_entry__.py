@@ -674,6 +674,32 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                key_col="doc_id", bench_text_col="text")
 
 
+def q_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row schema dispatch (spark/engine.py::MultiSchemaValidator):
+    three kinds assigned by doc_id residue, each with its own contract;
+    the oracle mirrors the per-kind validity arithmetic directly."""
+    from gojsonschema_spark.spark.engine import MultiSchemaValidator
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(
+        F.array(F.lit("article"), F.lit("product"), F.lit("metric")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    payload = F.to_json(F.struct(
+        F.when(F.col("doc_id") % 5 != 0, F.col("source")).alias("title"),
+        (F.col("doc_id") % 7 - 3).alias("price"),
+        F.col("doc_id").alias("value")))
+    staged = docs.select("doc_id", kind.alias("kind"), payload.alias("doc"))
+    mv = MultiSchemaValidator({
+        "article": {"type": "object", "required": ["title"],
+                    "properties": {"title": {"type": "string",
+                                             "minLength": 3}}},
+        "product": {"properties": {"price": {"minimum": 0}}},
+        "metric": {"properties": {"value": {"multipleOf": 4}}},
+    })
+    return (mv.validate_json(staged, "doc", "kind")
+            .select("doc_id", "valid"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -752,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_paragraphs": q_dup_paragraphs,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
+        "multischema_kinds": q_multischema,
     }
 
 
@@ -1120,6 +1147,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT grams.doc_id, count(*) AS n_contaminated_ngrams
             FROM grams JOIN bench USING (g)
             GROUP BY grams.doc_id
+        """,
+        "multischema_kinds": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN (doc_id % 5 <> 0 AND length(source) >= 3)
+                     WHEN 1 THEN (doc_id % 7 - 3) >= 0
+                     ELSE doc_id % 4 = 0
+                   END AS valid
+            FROM documents
         """,
         # minhash_lsh_pairs, simhash: not SQL-expressible -> rows-only check
     })
