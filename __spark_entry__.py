@@ -674,6 +674,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                key_col="doc_id", bench_text_col="text")
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (ops/text.py::token_count_bpe): one native
+    regexp_count pass; the oracle re-derives the count with DuckDB's
+    regexp_extract_all over the same public GPT-2-style pattern."""
+    from gojsonschema_spark.ops.text import token_count_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", token_count_bpe(docs))
+
+
 def q_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row schema dispatch (spark/engine.py::MultiSchemaValidator):
     three kinds assigned by doc_id residue, each with its own contract;
@@ -779,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "multischema_kinds": q_multischema,
+        "token_count_bpe": q_token_count_bpe,
     }
 
 
@@ -1155,6 +1166,12 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN (doc_id % 7 - 3) >= 0
                      ELSE doc_id % 4 = 0
                    END AS valid
+            FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) AS n_bpe_tokens
             FROM documents
         """,
         # minhash_lsh_pairs, simhash: not SQL-expressible -> rows-only check

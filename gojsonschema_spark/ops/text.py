@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["tokenize", "token_count", "quality_score", "language_id",
-           "fingerprint", "normalize_text", "repetition_metrics"]
+           "fingerprint", "normalize_text", "repetition_metrics",
+           "token_count_bpe"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -173,3 +174,15 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         nz(_dup_char_mass(lines), total_line_chars).alias("dup_line_char_frac"),
         nz(top_gram_chars, total_gram_chars).alias("top_bigram_char_frac"),
     )
+
+
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# residual whitespace (public pattern family, Radford et al. 2019)
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> Column:
+    """BPE-ish token count: one native regexp_count pass (JVM, no Python),
+    the standard quick estimate of LLM token mass per document."""
+    return F.regexp_count(F.col(text_col), F.lit(_BPE_ISH)).alias("n_bpe_tokens")

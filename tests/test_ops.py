@@ -477,3 +477,13 @@ def test_contamination_check(spark):
     plan = (contamination_check(corp, bench)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_token_count_bpe(spark):
+    from gojsonschema_spark.ops.text import token_count_bpe
+
+    df = spark.createDataFrame(
+        [("hello world, it's 42 tokens!",), ("a  b",), ("",)], ["text"])
+    got = [r.n_bpe_tokens for r in df.select(token_count_bpe(df)).collect()]
+    # hello | ' world' | ',' | ' it' | ''s' | ' 42' | ' tokens' | '!'
+    assert got == [8, 3, 0]
