@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["generate_webpages", "FLAGSHIP_SCHEMA", "webpage_doc_column"]
+__all__ = ["generate_webpages", "FLAGSHIP_SCHEMA", "webpage_doc_column",
+           "normalize_url"]
 
 _WORDS = ("the quick brown fox jumps over lazy dog data spark schema json "
           "valid check table scan web page crawl text token index shard "
@@ -117,3 +118,37 @@ def webpage_doc_column() -> F.Column:
         F.col("lang"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     ))
+
+
+def normalize_url(url: F.Column) -> F.Column:
+    """Conservative URL canonicalization for dedup keys, all native
+    regexp expressions (no Python, DuckDB-mirrorable):
+
+    * scheme and host lowercased (userinfo/path case preserved)
+    * default ports stripped (http:80, https:443)
+    * fragment dropped
+    * empty path normalized to "/" (e.g. https://host?q -> https://host/?q)
+    * trailing slash trimmed from non-root paths without a query
+    """
+    # drop fragment
+    u = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme
+    u = F.concat(F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*:)", 1)),
+                 F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*:", ""))
+    # lowercase host (authority up to first /, ?, or end; keep userinfo@)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]*)", 1)
+    u = F.concat(
+        F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*://(?:[^/?@]*@)?)", 1),
+        F.lower(host),
+        F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://(?:[^/?@]*@)?[^/?:]*", ""))
+    # strip default ports
+    u = F.regexp_replace(u, r"^(http://[^/?]*):80(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/?]*):443(?=[/?]|$)", r"$1")
+    # empty path -> "/"
+    u = F.when(u.rlike(r"^[a-z][a-z0-9+.-]*://[^/?]*$"), F.concat(u, F.lit("/"))) \
+         .when(u.rlike(r"^[a-z][a-z0-9+.-]*://[^/?]*\?"),
+               F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?]*)\?", r"$1/?")) \
+         .otherwise(u)
+    # trim trailing slash on non-root query-less paths (root keeps "/")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?]+/[^?]*[^/?])/$", r"$1")
+    return u

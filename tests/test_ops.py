@@ -487,3 +487,29 @@ def test_token_count_bpe(spark):
     got = [r.n_bpe_tokens for r in df.select(token_count_bpe(df)).collect()]
     # hello | ' world' | ',' | ' it' | ''s' | ' 42' | ' tokens' | '!'
     assert got == [8, 3, 0]
+
+
+def test_normalize_url(spark):
+    from gojsonschema_spark.ops.webpages import normalize_url
+
+    cases = [
+        ("HTTPS://Example.COM:443/Path/?q=1#frag", "https://example.com/Path/?q=1"),
+        ("http://EXAMPLE.com:80", "http://example.com/"),
+        ("https://example.com/", "https://example.com/"),
+        ("https://example.com/a/", "https://example.com/a"),
+        ("https://example.com/a/?x=1", "https://example.com/a/?x=1"),
+        ("https://user@Example.com/p", "https://user@example.com/p"),
+        ("https://example.com:8443/p", "https://example.com:8443/p"),
+        ("https://example.com?q=2", "https://example.com/?q=2"),
+        ("ftp://Host/X", "ftp://host/X"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    out = df.select("url", "want", normalize_url(F.col("url")).alias("got")).collect()
+    bad = [(r.url, r.got, r.want) for r in out if r.got != r.want]
+    assert not bad, bad
+    # equivalent spellings collapse to one dedup key
+    variants = ["https://example.com", "HTTPS://EXAMPLE.COM:443/",
+                "https://example.com/#top"]
+    vdf = spark.createDataFrame([(v,) for v in variants], ["url"])
+    keys = {r.k for r in vdf.select(normalize_url(F.col("url")).alias("k")).collect()}
+    assert keys == {"https://example.com/"}
