@@ -24,7 +24,7 @@ from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
 from .engine import SparkValidator
 
 __all__ = ["validate_stream", "windowed_invalid_rate", "sessionize_stream",
-           "sessionize_batch"]
+           "sessionize_batch", "dedup_stream"]
 
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
@@ -162,3 +162,15 @@ def windowed_invalid_rate(validated: DataFrame, ts_col: str,
             .groupBy(F.window(F.col(ts_col), window))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum((~F.col("valid")).cast("long")).alias("n_invalid")))
+
+
+def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
+                 delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key within the
+    watermark horizon (dropDuplicatesWithinWatermark). State stays
+    BOUNDED — a key's entry is evicted once the watermark passes it, so
+    a hot key or unbounded key space cannot grow executor state forever,
+    unlike a plain dropDuplicates on a stream. The batch twin is
+    ops/dedup.py::exact_duplicates."""
+    return (df.withWatermark(ts_col, delay)
+              .dropDuplicatesWithinWatermark(key_cols))

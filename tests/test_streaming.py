@@ -164,3 +164,36 @@ def test_sessionize_stream(spark, tmp_path):
               rows[0].session_end, rows[0].n_events)
     assert closed in got
     assert len(got) == 3  # user1 x2 sessions + user2 open tail
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dedup_stream keeps the first arrival per url within the watermark;
+    duplicates inside the horizon are dropped, and state is bounded by
+    the watermark (engine-managed eviction)."""
+    from gojsonschema_spark.spark.streaming import dedup_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"url": "https://a.com", "ts": "2026-01-01T10:00:00"},
+        {"url": "https://a.com", "ts": "2026-01-01T10:01:00"},  # dup
+        {"url": "https://b.com", "ts": "2026-01-01T10:02:00"},
+        {"url": "https://a.com", "ts": "2026-01-01T10:03:00"},  # dup
+    ]
+    with open(src / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (spark.readStream
+              .schema(StructType([StructField("url", StringType()),
+                                  StructField("ts", TimestampType())]))
+              .json(str(src)))
+    out = dedup_stream(stream, ["url"], "ts", delay="30 minutes")
+    q = (out.writeStream.format("memory").queryName("deduped")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(r.url for r in spark.sql("select * from deduped").collect())
+        assert got == ["https://a.com", "https://b.com"]
+    finally:
+        q.stop()
