@@ -54,13 +54,13 @@ def quality_score(df: DataFrame, text_col: str = "text",
     * ``mean_tok_len`` — avg token length
     """
     text = F.col(text_col)
-    toks = tokenize(text)
+    toks = F.array_remove(F.split(text, r"\s+"), "")  # native tokenize
     n_tok = F.size(toks)
     n_chars = F.length(text)
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*_STOPWORDS)))
-    mean_len = (F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-                / F.greatest(n_tok, F.lit(1)))
+    # sum of token lengths natively (lambda aggregates are interpreted)
+    mean_len = (F.length(F.array_join(toks, "")) / F.greatest(n_tok, F.lit(1)))
     return df.select(
         "*",
         n_tok.alias("n_tokens"),
