@@ -513,3 +513,54 @@ def test_normalize_url(spark):
     vdf = spark.createDataFrame([(v,) for v in variants], ["url"])
     keys = {r.k for r in vdf.select(normalize_url(F.col("url")).alias("k")).collect()}
     assert keys == {"https://example.com/"}
+
+
+def test_training_pipeline_end_to_end(spark):
+    """Integration: the full training-data shape — validate (flagship),
+    quarantine invalid rows with violations, dedup by normalized url,
+    quality + repetition filters, then dataset stats — composed exactly
+    as a pipeline user would chain the ops."""
+    from gojsonschema_spark.ops import dataset_checks as dc
+    from gojsonschema_spark.ops.dedup import exact_duplicates
+    from gojsonschema_spark.ops.text import quality_score, repetition_metrics
+    from gojsonschema_spark.ops.webpages import (FLAGSHIP_SCHEMA,
+                                                 generate_webpages,
+                                                 normalize_url,
+                                                 webpage_doc_column)
+    from gojsonschema_spark.spark.engine import SparkValidator
+
+    pages = generate_webpages(spark, 2000, partitions=8).cache()
+    n_total = pages.count()
+    docs = pages.withColumn("doc", webpage_doc_column())
+    v = SparkValidator(FLAGSHIP_SCHEMA)
+    validated = v.validate_json(docs, "doc").cache()
+
+    n_valid = validated.filter("valid").count()
+    n_invalid = validated.filter("NOT valid").count()
+    assert n_valid + n_invalid == n_total
+    assert 0 < n_invalid < n_total * 0.2  # the corpus plants a few % bad rows
+
+    # quarantine: every invalid row carries at least one violation
+    quarantined = validated.filter("NOT valid")
+    assert quarantined.filter(F.size("violations") == 0).count() == 0
+
+    # dedup by canonical url on the clean side
+    clean = validated.filter("valid").withColumn(
+        "url_norm", normalize_url(F.col("url")))
+    groups = exact_duplicates(clean, text_col="url_norm", key_col="url_norm")
+    n_dup_extra = (groups.agg(F.sum(F.col("n_dups") - 1)).collect()[0][0]) or 0
+    deduped = clean.dropDuplicates(["url_norm"])
+    assert deduped.count() == n_valid - n_dup_extra
+
+    # quality + repetition filters keep a sane majority
+    scored = repetition_metrics(quality_score(deduped), "text")
+    kept = scored.filter((F.col("stop_ratio") < 0.9)
+                         & (F.col("top_bigram_char_frac") < 0.9)
+                         & (F.col("n_tokens") >= 3))
+    n_kept = kept.count()
+    assert 0.5 * deduped.count() <= n_kept <= deduped.count()
+
+    # dataset-level stats still run over the final slice
+    stats = dc.column_stats(kept.select(F.length("text").alias("len")), "len")
+    assert stats.collect()[0]["n"] == n_kept
+    pages.unpersist(); validated.unpersist()
