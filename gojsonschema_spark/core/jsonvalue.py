@@ -67,9 +67,27 @@ class Num:
         return hash(self.frac)
 
 
+def _object_pairs_strict(pairs):
+    """Reject duplicate object keys (README "Differences" item 4).
+
+    Go's json.Unmarshal silently keeps the LAST duplicate (so the
+    reference validates {"a":1,"a":2} as {"a":2}), but Spark's variant
+    parser rejects such documents outright — the SQL hot path cannot see
+    them at all. One engine must give ONE verdict per document on every
+    path, so the interpreter path matches the SQL path: duplicate-key
+    documents are invalid_document, a data-quality signal rather than a
+    silent value drop."""
+    d = dict(pairs)
+    if len(d) != len(pairs):
+        raise ValueError("duplicate object key")
+    return d
+
+
 def parse_json(text: str):
-    """Parse JSON keeping numbers lexical (reference: decodeJSONUsingNumber)."""
-    return json.loads(text, parse_float=Num, parse_int=Num)
+    """Parse JSON keeping numbers lexical (reference: decodeJSONUsingNumber);
+    duplicate object keys are rejected (see _object_pairs_strict)."""
+    return json.loads(text, parse_float=Num, parse_int=Num,
+                      object_pairs_hook=_object_pairs_strict)
 
 
 def dump_lexical(value) -> str:

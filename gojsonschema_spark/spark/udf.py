@@ -24,7 +24,7 @@ from pyspark.sql.types import (ArrayType, BooleanType, MapType, StringType,
 from ..core.compiler import CompiledSchema
 from ..core.errors import render_value
 from ..core.interpreter import validate_document
-from ..core.jsonvalue import Num
+from ..core.jsonvalue import Num, _object_pairs_strict
 
 __all__ = ["VIOLATION_SCHEMA", "VERDICT_SCHEMA", "make_verdict_udf", "make_violations_udf"]
 
@@ -75,7 +75,11 @@ def _raise_limit():
 
 
 def _loads(doc: str):
-    return json.loads(doc, parse_float=Num, parse_int=Num)
+    # duplicate object keys raise -> invalid_document, matching the SQL
+    # path where the variant parser rejects them (core/jsonvalue
+    # _object_pairs_strict, README "Differences" item 4)
+    return json.loads(doc, parse_float=Num, parse_int=Num,
+                      object_pairs_hook=_object_pairs_strict)
 
 
 def _violation_rows(result) -> list[dict]:

@@ -472,3 +472,20 @@ def test_multi_schema_violations_table(spark):
     # reference locale rendering still flows through per-kind compilers
     msgs = {r.id: r.message for r in rows}
     assert msgs["a2"] == "title is required"
+
+
+def test_duplicate_key_documents_one_verdict_both_paths(spark):
+    """README "Differences" item 4: documents with duplicate object keys
+    are invalid_document on BOTH engine paths. (Go's json.Unmarshal keeps
+    the last duplicate; Spark's variant parser rejects the document — one
+    engine must give one verdict, so the interpreter path matches SQL.)"""
+    dup = '{"a": 1, "a": 2}'
+    ok = '{"a": 2}'
+    schema = {"properties": {"a": {"const": 2}}}
+    df = spark.createDataFrame([(dup,), (ok,)], ["doc"])
+    for v in (SparkValidator(schema), SparkValidator(schema, force_udf=True)):
+        rows = v.validate_json(df, "doc").collect()
+        got = {r.doc: (r.valid, [x.keyword for x in r.violations]) for r in rows}
+        assert got[ok] == (True, [])
+        assert got[dup][0] is False
+        assert got[dup][1] == ["invalid_document"]
