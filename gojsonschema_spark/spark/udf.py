@@ -74,12 +74,39 @@ def _raise_limit():
         sys.setrecursionlimit(_WORKER_RECURSION_LIMIT)
 
 
+# Spark's variant parser rejects documents nested deeper than 1000
+# levels (measured: depth 1000 parses, 1001 returns NULL, arrays and
+# objects alike) — the SQL hot path therefore verdicts such documents
+# invalid_document. The interpreter path enforces the same bound so both
+# paths give one verdict (README "Differences" item 4).
+_VARIANT_MAX_DEPTH = 1000
+
+
+def _depth_exceeds(obj, limit: int) -> bool:
+    """True iff a CONTAINER sits at nesting depth > limit (scalars inside
+    the limit-th container are fine — measured variant behavior)."""
+    if not isinstance(obj, (dict, list)):
+        return False
+    stack = [(obj, 1)]
+    while stack:
+        node, d = stack.pop()
+        if d > limit:
+            return True
+        children = node.values() if isinstance(node, dict) else node
+        stack.extend((v, d + 1) for v in children
+                     if isinstance(v, (dict, list)))
+    return False
+
+
 def _loads(doc: str):
     # duplicate object keys raise -> invalid_document, matching the SQL
     # path where the variant parser rejects them (core/jsonvalue
     # _object_pairs_strict, README "Differences" item 4)
-    return json.loads(doc, parse_float=Num, parse_int=Num,
-                      object_pairs_hook=_object_pairs_strict)
+    obj = json.loads(doc, parse_float=Num, parse_int=Num,
+                     object_pairs_hook=_object_pairs_strict)
+    if _depth_exceeds(obj, _VARIANT_MAX_DEPTH):
+        raise ValueError("nesting exceeds variant depth limit")
+    return obj
 
 
 def _violation_rows(result) -> list[dict]:

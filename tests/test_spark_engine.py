@@ -366,19 +366,47 @@ def test_two_pass_violations(spark):
 
 
 def test_recursion_limit_verdict_not_job_crash(spark):
-    """README "Differences" item 3b: an instance nested past the worker
-    recursion limit yields a per-document `recursion_limit` violation
-    (invalid) on the UDF path instead of killing the executor."""
-    deep = "[" * 10000 + "]" * 10000  # parses; validation frames blow past it
-    shallow = "[[1]]"
+    """README "Differences" items 3b/4: documents nested past the variant
+    container-depth limit (1000) get the SAME invalid_document verdict on
+    the UDF path as on the SQL path, at the exact boundary; and a
+    schema x instance combination whose validation frames exceed the
+    worker recursion limit yields a controlled `recursion_limit`
+    violation instead of killing the executor."""
+    docs = {
+        "deep10000": "[" * 10000 + "]" * 10000,
+        "depth1001": "[" * 1001 + "]" * 1001,
+        "depth1000": "[" * 1000 + "]" * 1000,   # at the limit: valid
+        "ok": "[[1]]",
+    }
     v = SparkValidator({"items": {"$ref": "#"},
                         "type": ["array", "integer"]}, force_udf=True)
-    df = spark.createDataFrame([("deep", deep), ("ok", shallow)], ["id", "doc"])
+    df = spark.createDataFrame(list(docs.items()), ["id", "doc"])
     out = {r.id: r for r in
            v.validate_json(df, "doc").select("id", "valid", "violations").collect()}
     assert out["ok"].valid
-    assert not out["deep"].valid
-    assert out["deep"].violations[0].keyword == "recursion_limit"
+    assert out["depth1000"].valid
+    for key in ("deep10000", "depth1001"):
+        assert not out[key].valid
+        assert out[key].violations[0].keyword == "invalid_document"
+    # SQL path agrees at the boundary
+    sv = SparkValidator({"items": {"$ref": "#"}, "type": ["array", "integer"]})
+    got = {r.id: r.valid for r in
+           sv.validate_json(df, "doc", violations_col=None).collect()}
+    assert {k: bool(v_) for k, v_ in got.items()} == {
+        "deep10000": False, "depth1001": False, "depth1000": True, "ok": True}
+
+    # recursion_limit safety net: frame-amplifying schema (6 allOf hops +
+    # a $ref per instance level) on a depth-950 document — within the
+    # variant limit, beyond the 20000-frame worker stack
+    amp = {"$ref": "#/definitions/n", "definitions": {"n": {
+        "allOf": [{"allOf": [{"allOf": [{"allOf": [{"allOf": [{"allOf": [
+            {"items": {"$ref": "#/definitions/n"}}]}]}]}]}]}]}}}
+    uv = SparkValidator(amp, force_udf=True)
+    deep950 = "[" * 950 + "]" * 950
+    row = uv.validate_json(
+        spark.createDataFrame([(deep950,)], ["doc"]), "doc").collect()[0]
+    assert not row.valid
+    assert row.violations[0].keyword == "recursion_limit"
 
 
 def test_multi_schema_dispatch_verdicts(spark):
