@@ -21,6 +21,7 @@ differential gate).
 
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 
 from pyspark.sql import Column, functions as F
@@ -45,6 +46,16 @@ def _java_pattern(src: str) -> str:
         return translate_re2_java(src)
     except JavaRegexDivergence as e:
         raise UnsupportedSchema(f"regex {src!r}: {e} (route to interpreter)")
+
+
+def _to_double(frac) -> float:
+    """float(Fraction) raises OverflowError past double range; the column
+    compiler wants the IEEE overflow semantics (+-inf) so its range gates
+    can reject the literal with UnsupportedSchema instead of crashing."""
+    try:
+        return float(frac)
+    except OverflowError:
+        return math.inf if frac > 0 else -math.inf
 
 
 def _true() -> Column:
@@ -96,15 +107,40 @@ def _is_null(v: Column) -> Column:
 
 
 def _is_string(v: Column) -> Column:
-    return _nn(_fc(v) == '"')
+    # '"Infinity"' is also the rendering of an overflowed DOUBLE — see
+    # _INF_RENDERINGS below; only such rows pay the schema_of_variant call
+    txt = F.to_json(v)
+    return _nn(F.when(txt.isin(*_INF_RENDERINGS),
+                      F.schema_of_variant(v) == F.lit("STRING"))
+                .otherwise(F.substring(txt, 1, 1) == '"'))
 
 
 def _is_boolean(v: Column) -> Column:
     return _nn(_fc(v).isin("t", "f"))
 
 
+# A numeric literal beyond double range (|x| >= ~1.8e308) parses into the
+# variant as double +-Infinity, which to_json renders as '"Infinity"' —
+# IDENTICAL to the rendering of the STRING "Infinity". Only for rows that
+# render exactly these three strings (~never) does the probe fall back to
+# schema_of_variant (which costs ~25x the parse, hence never on the
+# common path) to tell an overflowed double from a string.
+_INF_RENDERINGS = ('"Infinity"', '"-Infinity"', '"NaN"')
+
+
 def _is_number(v: Column) -> Column:
-    return _nn(_fc(v).isin("-", "0", "1", "2", "3", "4", "5", "6", "7", "8", "9"))
+    txt = F.to_json(v)
+    return _nn(F.when(txt.isin(*_INF_RENDERINGS),
+                      F.schema_of_variant(v) == F.lit("DOUBLE"))
+                .otherwise(F.substring(txt, 1, 1).isin(
+                    "-", "0", "1", "2", "3", "4", "5", "6", "7", "8", "9")))
+
+
+def _is_overflow_number(v: Column) -> Column:
+    """Value parsed from a literal beyond double range (variant stores
+    +-Infinity; the original lexical is unrecoverable)."""
+    return _nn(F.to_json(v).isin('"Infinity"', '"-Infinity"')
+               & (F.schema_of_variant(v) == F.lit("DOUBLE")))
 
 
 def _num_dec(v: Column) -> Column:
@@ -180,10 +216,14 @@ def _guarantees_scalar(node, depth: int = 0) -> bool:
 
 
 def _is_integer(v: Column) -> Column:
+    # an overflowed literal (|x| >= 1.8e308, stored as +-Infinity) is
+    # ALWAYS an integer: its exponent dwarfs any fractional digits
+    # (m.dddEk with k >= 309 shifts every digit left of the point)
     return _is_number(v) & _nn(
         F.coalesce(
             _num_dec(v) % 1 == 0,
-            _num_dbl(v) % 1.0 == 0.0,
+            F.when(_num_dbl(v).isin(float("inf"), float("-inf")), F.lit(True))
+             .otherwise(_num_dbl(v) % 1.0 == 0.0),
         )
     )
 
@@ -213,6 +253,8 @@ class ColumnPlanCompiler:
         self._nodes = 0
         self._frontier_hit = False
         self._ui_frontier_nodes: set[int] = set()  # composite-uniqueItems sites
+        self._ui_inf_nodes: set[int] = set()  # uniqueItems overflow-element sites
+        self._num_overflow_nodes: set[int] = set()  # multipleOf-on-overflow sites
         self._fmt_frontier_nodes: dict[int, str] = {}  # UDF-format-in-HOF sites
         self._pn_frontier_nodes: set[int] = set()  # UDF-format propertyNames
         self.frontier_plan = None  # set by compile() when a frontier exists
@@ -320,6 +362,20 @@ class ColumnPlanCompiler:
         def add(d):
             if d is not None:
                 dets.append(d)
+
+        if id(node) in self._ui_inf_nodes:
+            def ui_inf_det(v):
+                arr = _arr(v)
+                return arr.isNotNull() & _nn(F.exists(
+                    arr, lambda x: F.to_json(x).isin(
+                        '"Infinity"', '"-Infinity"')))
+
+            add(ui_inf_det)
+
+        if id(node) in self._num_overflow_nodes:
+            # conservative: the STRING "Infinity" also matches (such rows
+            # just take the exact interpreter)
+            add(lambda v: _nn(F.to_json(v).isin('"Infinity"', '"-Infinity"')))
 
         if id(node) in self._ui_frontier_nodes:
             def ui_det(v):
@@ -609,7 +665,15 @@ class ColumnPlanCompiler:
         if dec is not None:
             return _nn(F.coalesce(_num_dec(v) == dec(),
                                   _num_dbl(v) == F.lit(float(frac))))
-        return _nn(_num_dbl(v) == F.lit(float(frac)))
+        f = _to_double(frac)
+        if math.isinf(f) or (f == 0.0 and frac != 0):
+            # literal overflows double (+-inf equals EVERY overflowed value)
+            # or underflows to zero (equals a true 0): exact path only
+            raise UnsupportedSchema("const/enum literal outside double range")
+        # exact: a finite double equals no overflowed value, and any doc
+        # value that underflowed to 0.0 only false-matches frac == 0,
+        # excluded above
+        return _nn(_num_dbl(v) == F.lit(f))
 
     def _dec_literal(self, frac: Fraction):
         """Deferred exact decimal(38,18) literal, or None if inexpressible.
@@ -652,7 +716,12 @@ class ColumnPlanCompiler:
             if bound is None:
                 continue
             dec = self._dec_literal(bound)
-            fb = float(bound)
+            fb = _to_double(bound)
+            if math.isinf(fb):
+                # a bound beyond double range cannot be compared against
+                # overflowed values (both collapse to +-Infinity): exact
+                # rational path only
+                raise UnsupportedSchema("numeric bound exceeds double range")
 
             def cmp(v, op=op, dec=dec, fb=fb):
                 d = _num_dec(v)
@@ -673,7 +742,12 @@ class ColumnPlanCompiler:
             dec = self._dec_literal(m)
             if dec is None:
                 raise UnsupportedSchema("multipleOf needs exact rational path")
-            fm = float(m)
+            fm = _to_double(m)
+            # divisibility of an overflowed value (stored +-Infinity, the
+            # lexical gone) is undecidable in SQL: route such rows to the
+            # exact interpreter via the reach detector
+            self._frontier_hit = True
+            self._num_overflow_nodes.add(id(node))
 
             def multiple(v, dec=dec, fm=fm):
                 d = _num_dec(v)
@@ -776,6 +850,11 @@ class ColumnPlanCompiler:
                 # key-order-insensitive — not SQL-expressible)
                 self._frontier_hit = True
                 self._ui_frontier_nodes.add(id(node))
+            # two DIFFERENT overflowed literals (1e999, 2e999) share the
+            # canon key "dInfinity" -> false duplicate; route arrays with
+            # overflow-rendering elements to the interpreter
+            self._frontier_hit = True
+            self._ui_inf_nodes.add(id(node))
 
             def unique(v):
                 arr = _arr(v)

@@ -517,3 +517,53 @@ def test_duplicate_key_documents_one_verdict_both_paths(spark):
         assert got[ok] == (True, [])
         assert got[dup][0] is False
         assert got[dup][1] == ["invalid_document"]
+
+
+def test_overflow_number_class_differential(spark):
+    """Literals beyond double range parse into the variant as +-Infinity
+    (rendered identically to the STRING "Infinity"). The column plan must
+    match the exact interpreter across the whole keyword surface: exact
+    SQL for type/bounds/const (an overflowed value is always an integer
+    and exceeds every finite bound), frontier routing for multipleOf and
+    uniqueItems (divisibility/distinctness of the lost lexical is
+    undecidable in SQL), and schema-literal compile gates."""
+    from gojsonschema_spark.core.compiler import SchemaCompiler
+    from gojsonschema_spark.core.interpreter import validate_document
+    from gojsonschema_spark.core.jsonvalue import parse_json
+
+    cases = [
+        ({"type": "integer"}, ["1e999", "-1e999", "1.5e999", '"Infinity"']),
+        ({"type": "number"}, ["1e999", '"Infinity"', '"1e999"']),
+        ({"type": "string"}, ["1e999", '"Infinity"']),
+        ({"maximum": 1e308}, ["1e999", "-1e999", "1e308", '"Infinity"']),
+        ({"minimum": -1e308}, ["1e999", "-1e999", '"-Infinity"']),
+        ({"multipleOf": 2}, ["1e999", "2", "3", '"Infinity"']),
+        ({"multipleOf": 7}, ["1e999", "7e999", "14"]),
+        ({"uniqueItems": True}, ["[1e999, 2e999]", "[1e999, 1e999]",
+                                 '["Infinity", "Infinity"]', "[1, 2]",
+                                 '[1e999, "Infinity"]']),
+        ({"items": {"type": "integer"}, "uniqueItems": True},
+         ["[1, 2]", "[1e999, 2e999]"]),
+        ({"const": 5}, ["1e999", "5", '"Infinity"']),
+        ({"enum": [1, "Infinity"]}, ["1e999", "1", '"Infinity"']),
+    ]
+    mismatches = []
+    for schema, docs in cases:
+        v = SparkValidator(schema)
+        assert v.uses_column_plan, schema
+        compiled = SchemaCompiler(auto_detect=True).compile(schema)
+        ref = [validate_document(compiled, parse_json(d)).valid() for d in docs]
+        df = spark.createDataFrame([(d,) for d in docs], ["doc"])
+        got = {r.doc: r.valid for r in
+               v.validate_json(df, "doc", violations_col=None).collect()}
+        for d, want in zip(docs, ref):
+            if got[d] != want:
+                mismatches.append((schema, d, got[d], want))
+    assert not mismatches, mismatches
+
+    # schema-literal gates: lexicals outside double range leave the column
+    # plan entirely (UDF fallback stays exact; verified via oracle above)
+    for schema_json in ('{"maximum": 1e999}', '{"const": 1e999}',
+                        '{"enum": [1e999]}', '{"multipleOf": 1e999}'):
+        u = SparkValidator(parse_json(schema_json))
+        assert not u.uses_column_plan, schema_json
