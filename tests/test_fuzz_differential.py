@@ -36,6 +36,10 @@ def _gen_value(rng: random.Random, depth: int):
         kinds += ["obj", "arr", "obj", "arr"]
     k = rng.choice(kinds)
     if k == "int":
+        if rng.random() < 0.03:
+            # beyond double range: parses into the variant as +-Infinity
+            # (exercises the overflow probes/frontiers in columns.py)
+            return rng.choice([1, -1]) * 10 ** rng.randint(309, 400)
         return rng.randint(-50, 300)
     if k == "float":
         return round(rng.uniform(-20, 20), rng.randint(0, 6))
