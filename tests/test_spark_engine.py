@@ -567,3 +567,32 @@ def test_overflow_number_class_differential(spark):
                         '{"enum": [1e999]}', '{"multipleOf": 1e999}'):
         u = SparkValidator(parse_json(schema_json))
         assert not u.uses_column_plan, schema_json
+
+
+def test_negative_zero_residual(spark):
+    """README deviation 2 residual, pinned so a silent change is caught:
+    '-0'/'-0.0' parse into sign-less BIGINT/DECIMAL variants, so SQL
+    uniqueItems keys them equal to 0 (the reference's marshalWithoutNumber
+    keeps "-0" distinct); '-0e0' takes the DOUBLE type and keeps its
+    sign, matching the reference on both paths."""
+    from gojsonschema_spark.core.compiler import compile_schema
+    from gojsonschema_spark.io.loaders import string_loader
+
+    v = SparkValidator({"items": {"type": "number"}, "uniqueItems": True})
+    s = compile_schema({"items": {"type": "number"}, "uniqueItems": True})
+    df = spark.createDataFrame(
+        [("[0, -0]",), ("[0.0, -0.0]",), ("[0, -0e0]",), ("[-0e0, -0.0]",)],
+        ["doc"])
+    got = {r.doc: r.valid for r in
+           v.validate_json(df, "doc", violations_col=None).collect()}
+    ref = {d: s.validate(string_loader(d)).valid()
+           for d in ["[0, -0]", "[0.0, -0.0]", "[0, -0e0]", "[-0e0, -0.0]"]}
+    # reference: "-0" and "-0e0" marshal as "-0", distinct from "0"
+    assert ref == {"[0, -0]": True, "[0.0, -0.0]": True,
+                   "[0, -0e0]": True, "[-0e0, -0.0]": False}
+    # SQL path: decimal-typed -0 collapses to 0, so it can neither match
+    # the reference's "-0"-vs-"0" distinction ([0,-0] false-dups) nor the
+    # "-0e0"-vs-"-0.0" duplication ([-0e0,-0.0] false-distinct); the
+    # double-typed pair [0,-0e0] happens to agree
+    assert got == {"[0, -0]": False, "[0.0, -0.0]": False,
+                   "[0, -0e0]": True, "[-0e0, -0.0]": True}
