@@ -144,19 +144,20 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     def _plen(p):
         return F.length(p["0"]) + F.length(p["1"]) + 1
 
+    def _run_step(st, g):
+        # compare struct fields directly (no per-element string building)
+        same = st["p0"].eqNullSafe(g["0"]) & st["p1"].eqNullSafe(g["1"])
+        run = F.when(same, st["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g["0"].alias("p0"), g["1"].alias("p1"), run.alias("run"),
+            F.greatest(st["best"], _plen(g) * run).alias("best"))
+
     top_gram_chars = F.aggregate(
         F.array_sort(pairs),
-        F.struct(F.lit(None).cast("string").alias("prev"),
+        F.struct(F.lit(None).cast("string").alias("p0"),
+                 F.lit(None).cast("string").alias("p1"),
                  F.lit(0).alias("run"), F.lit(0).alias("best")),
-        lambda st, g: F.struct(
-            F.concat_ws(" ", g["0"], g["1"]).alias("prev"),
-            F.when(st["prev"] == F.concat_ws(" ", g["0"], g["1"]),
-                   st["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                st["best"],
-                _plen(g) * F.when(st["prev"] == F.concat_ws(" ", g["0"], g["1"]),
-                                  st["run"] + 1).otherwise(F.lit(1)))
-            .alias("best")),
+        _run_step,
         lambda st: st["best"])
 
     nz = lambda c, denom: F.when(denom > 0, c / denom).otherwise(F.lit(0.0))
