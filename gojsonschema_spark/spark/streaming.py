@@ -24,7 +24,7 @@ from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
 from .engine import SparkValidator
 
 __all__ = ["validate_stream", "windowed_invalid_rate", "sessionize_stream",
-           "sessionize_batch", "dedup_stream"]
+           "sessionize_batch", "dedup_stream", "windowed_drift_kl"]
 
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
@@ -174,3 +174,38 @@ def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
     ops/dedup.py::exact_duplicates."""
     return (df.withWatermark(ts_col, delay)
               .dropDuplicatesWithinWatermark(key_cols))
+
+
+def windowed_drift_kl(stream_df: DataFrame, ts_col: str, col: str,
+                      baseline: DataFrame, window: str = "10 minutes",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Streaming distribution-drift monitor: KL(window || baseline) per
+    event-time window of a categorical column, against a STATIC baseline
+    distribution (e.g. yesterday's lang mix) — the live twin of
+    ops/dataset_checks.py::categorical_drift_kl for crawl monitoring.
+
+    Shape: stage 1 aggregates (window, category) counts (bounded state:
+    categories x open windows); the static baseline reduces to
+    |categories| probability rows and broadcast-joins; stage 2 chains a
+    second windowed aggregation (supported since Spark 3.4's multiple
+    stateful operators) computing
+    KL = sum(c*(ln c - ln q))/N - ln N  with N = sum(c),
+    which equals sum_c p_c ln(p_c/q_c) without needing N inside the
+    per-category term. Categories unseen in the baseline drop via the
+    inner join (the batch op's smoothed-support convention)."""
+    total = baseline.count()
+    q = (baseline.groupBy(col)
+         .agg((F.count(F.lit(1)) / F.lit(float(total))).alias("__q")))
+    counts = (stream_df
+              .withWatermark(ts_col, watermark)
+              .groupBy(F.window(F.col(ts_col), window).alias("__w"),
+                       F.col(col))
+              .agg(F.count(F.lit(1)).alias("__c")))
+    joined = counts.join(F.broadcast(q), on=col, how="inner")
+    term = F.col("__c") * (F.log(F.col("__c")) - F.log(F.col("__q")))
+    return (joined.groupBy("__w")
+            .agg(F.round(
+                F.sum(term) / F.sum("__c") - F.log(F.sum("__c")), 6)
+                .alias("kl_divergence"),
+                F.sum("__c").alias("n_docs"))
+            .withColumnRenamed("__w", "window"))

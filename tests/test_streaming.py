@@ -197,3 +197,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert got == ["https://a.com", "https://b.com"]
     finally:
         q.stop()
+
+
+def test_streaming_windowed_drift_kl(spark, tmp_path):
+    """Windowed KL drift vs a static baseline: the emitted window's value
+    must equal the batch op's KL over the same slice (chained streaming
+    aggregations; append-mode finalization driven by the watermark)."""
+    from gojsonschema_spark.ops.dataset_checks import categorical_drift_kl
+    from gojsonschema_spark.spark.streaming import windowed_drift_kl
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # window [10:00, 10:10): skewed toward en (baseline is uniform en/de)
+    w1 = ([{"lang": "en", "ts": "2026-01-01T10:00:05"}] * 6
+          + [{"lang": "de", "ts": "2026-01-01T10:01:00"}] * 2)
+    with open(src / "b1.json", "w") as f:
+        for r in w1:
+            f.write(json.dumps(r) + "\n")
+    # far-future row pushes the watermark past the first window
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"lang": "en", "ts": "2026-01-01T12:00:00"}) + "\n")
+
+    baseline = spark.createDataFrame(
+        [("en",)] * 5 + [("de",)] * 5, ["lang"])
+
+    stream = (spark.readStream
+              .schema(StructType([StructField("lang", StringType()),
+                                  StructField("ts", TimestampType())]))
+              .option("maxFilesPerTrigger", 1)
+              .json(str(src)))
+    out = windowed_drift_kl(stream, "ts", "lang", baseline,
+                            window="10 minutes", watermark="5 minutes")
+    q = (out.writeStream.format("memory").queryName("drift")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from drift").collect()
+        got = {r.window.start.isoformat(): (r.kl_divergence, r.n_docs)
+               for r in rows}
+        key = "2026-01-01T10:00:00"
+        assert key in got, rows
+        kl, n = got[key]
+        assert n == 8
+        w1_df = spark.createDataFrame(
+            [("en",)] * 6 + [("de",)] * 2, ["lang"])
+        want = categorical_drift_kl(w1_df, baseline, "lang").collect()[0][0]
+        assert abs(kl - want) < 1e-6, (kl, want)
+    finally:
+        q.stop()
