@@ -326,3 +326,61 @@ def test_fuzz_ref_graphs_frontier_sound(spark):
                          f"missed a divergence):\n" + "\n".join(unsound[:20]))
     # the corpus must actually exercise both regimes
     assert 0 < n_deep < n_rows, f"degenerate corpus: {n_deep}/{n_rows} deep"
+
+
+def test_unicode_length_pattern_differential(spark):
+    """Astral-plane / combining-char strings through length, pattern,
+    const/enum and uniqueItems: Go counts runes, Python code points, Java
+    regex works on UTF-16 — the column plan must still match the exact
+    interpreter on every verdict."""
+    GCLEF = "\U0001D11E"       # astral: 2 UTF-16 units, 1 code point
+    EMOJI = "\U0001F600"
+    COMBINING = "é"      # e + combining acute (2 code points)
+
+    strs = ["", "a", "über", GCLEF, GCLEF + GCLEF + "x",
+            "é", "☃", EMOJI + EMOJI, "a" + EMOJI + "b",
+            COMBINING, " a"]
+    schemas = []
+    for nn in (1, 2, 3):
+        schemas.append({"minLength": nn})
+        schemas.append({"maxLength": nn})
+    for pat in ["^.$", "^..$", ".", "^[" + GCLEF + "]$", EMOJI, "^\\w+$",
+                "^" + COMBINING + "$"]:
+        schemas.append({"pattern": pat})
+    schemas.append({"enum": [GCLEF, "é"]})
+    schemas.append({"const": EMOJI + EMOJI})
+    schemas.append({"uniqueItems": True})
+
+    corpus = []
+    for schema in schemas:
+        v = SparkValidator(schema)
+        assert v.uses_column_plan, schema
+        compiled = SchemaCompiler(auto_detect=True).compile(schema)
+        docs = [json.dumps(s) for s in strs]
+        if "uniqueItems" in schema:
+            docs += [json.dumps(a) for a in
+                     [["é", "é"], [GCLEF, GCLEF], ["a", "a "],
+                      [COMBINING, "é"]]]
+        rows = [(d, validate_document(compiled, parse_json(d)).valid())
+                for d in docs]
+        corpus.append((v, rows))
+
+    data = []
+    for sid, (v, rows) in enumerate(corpus):
+        for d, exp in rows:
+            data.append((sid, d, exp))
+    df = spark.createDataFrame(data, ["sid", "doc", "expected"])
+    var = F.try_parse_json(F.col("doc"))
+    pred = deep = None
+    for sid, (v, _) in enumerate(corpus):
+        b = v.column_plan(var)
+        fr = (v.frontier_plan(var) if v.frontier_plan is not None
+              else F.lit(False))
+        pred = (F.when(F.col("sid") == sid, b) if pred is None
+                else pred.when(F.col("sid") == sid, b))
+        deep = (F.when(F.col("sid") == sid, fr) if deep is None
+                else deep.when(F.col("sid") == sid, fr))
+    bad = [(r.sid, r.doc, r.got, r.expected)
+           for r in df.withColumn("got", pred).withColumn("deep", deep).collect()
+           if not r.deep and r.got != r.expected]
+    assert not bad, bad
