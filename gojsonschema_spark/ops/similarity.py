@@ -97,12 +97,15 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
 def ivf_train(df: DataFrame, n_centroids: int = 16, iters: int = 2,
               vec_col: str = "embedding",
               key_col: str = "vec_id") -> list[list[float]]:
-    """Deterministic coarse quantizer: seed with the first n_centroids
-    vectors by key order, then ``iters`` Lloyd steps (assign = argmin
-    expression; update = per-(cell, dim) avg after posexplode). Each step
-    is one shuffle of (cell, dim, val) triples; only k x d averages are
-    collected."""
-    seeds = df.orderBy(key_col).limit(n_centroids).select(vec_col).collect()
+    """Deterministic coarse quantizer: seed with n_centroids vectors in
+    KEY-HASH order (pseudo-random spread that stays reproducible — "first
+    k by key" would seed from one region whenever key order correlates
+    with content, e.g. crawl-ordered corpora), then ``iters`` Lloyd steps
+    (assign = argmin expression; update = per-(cell, dim) avg after
+    posexplode). Each step is one shuffle of (cell, dim, val) triples;
+    only k x d averages are collected."""
+    seeds = (df.orderBy(F.xxhash64(key_col))
+             .limit(n_centroids).select(vec_col).collect())
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, vec_col)
