@@ -245,3 +245,44 @@ def test_streaming_windowed_drift_kl(spark, tmp_path):
         assert abs(kl - want) < 1e-6, (kl, want)
     finally:
         q.stop()
+
+
+def test_streaming_multischema_dispatch(spark, tmp_path):
+    """Per-row schema dispatch is stateless (column CASE chain + masked
+    UDF branches), so it runs unchanged on a stream — including a kind
+    that falls back to the interpreter UDF."""
+    from gojsonschema_spark.spark.engine import MultiSchemaValidator
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"kind": "article", "doc": '{"title": "x"}'},
+            {"kind": "article", "doc": '{}'},
+            {"kind": "metric", "doc": "0.0002"},
+            {"kind": "metric", "doc": "0.00025"},
+            {"kind": "video", "doc": "{}"}]
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    mv = MultiSchemaValidator({
+        "article": {"type": "object", "required": ["title"]},
+        "metric": {"multipleOf": 0.0001},   # off-plan -> UDF branch
+    }, on_unknown="invalid")
+    stream = (spark.readStream
+              .schema(StructType([StructField("kind", StringType()),
+                                  StructField("doc", StringType())]))
+              .json(str(src)))
+    out = mv.validate_json(stream, "doc", "kind")
+    q = (out.writeStream.format("memory").queryName("dispatch")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.kind, r.doc): r.valid
+               for r in spark.sql("select * from dispatch").collect()}
+        assert got == {("article", '{"title": "x"}'): True,
+                       ("article", "{}"): False,
+                       ("metric", "0.0002"): True,
+                       ("metric", "0.00025"): False,
+                       ("video", "{}"): False}
+    finally:
+        q.stop()
