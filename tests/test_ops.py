@@ -564,3 +564,37 @@ def test_training_pipeline_end_to_end(spark):
     stats = dc.column_stats(kept.select(F.length("text").alias("len")), "len")
     assert stats.collect()[0]["n"] == n_kept
     pages.unpersist(); validated.unpersist()
+
+
+def test_ops_tolerate_empty_input(spark):
+    """Empty inputs (routine at 100 TB: filters, empty partitions, fresh
+    tables) must not crash any dataset operator."""
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StringType, StructField, StructType)
+
+    from gojsonschema_spark.ops import dataset_checks as dc
+    from gojsonschema_spark.ops import dedup as dd
+    from gojsonschema_spark.ops import similarity as sim
+    from gojsonschema_spark.ops import text as tx
+    from gojsonschema_spark.spark.engine import SparkValidator
+
+    docs = spark.createDataFrame([], StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+        StructField("lang", StringType())]))
+    emb = spark.createDataFrame([], StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType()))]))
+
+    assert dd.exact_duplicates(docs).count() == 0
+    assert dd.duplicate_paragraphs(docs).count() == 0
+    assert dd.minhash_lsh_pairs(docs, num_hashes=8, bands=2).count() == 0
+    assert dd.contamination_check(docs, docs).count() == 0
+    assert tx.quality_score(docs).count() == 0
+    assert tx.repetition_metrics(docs).count() == 0
+    dc.uniqueness_ratio(docs, "doc_id").collect()
+    dc.column_stats(docs.select(F.length("text").alias("len")), "len").collect()
+    dc.categorical_drift_kl(docs, docs, "lang").collect()
+    assert sim.brute_force_topk(emb, [0.1, 0.2], k=5).collect() == []
+    v = SparkValidator({"type": "object"})
+    assert v.validate_json(docs.select(F.col("text").alias("doc")),
+                           "doc").count() == 0
