@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "fingerprint", "normalize_text", "repetition_metrics",
-           "token_count_bpe"]
+           "token_count_bpe", "temperature_fractions", "temperature_resample"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -187,3 +187,35 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> Column:
     """BPE-ish token count: one native regexp_count pass (JVM, no Python),
     the standard quick estimate of LLM token mass per document."""
     return F.regexp_count(F.col(text_col), F.lit(_BPE_ISH)).alias("n_bpe_tokens")
+
+
+def temperature_fractions(df: DataFrame, group_col: str,
+                          temperature: float) -> dict:
+    """Per-group sampling fractions for temperature-based corpus mixing
+    (the standard LLM data-mix reweighting: target share ~ p^(1/T);
+    T=1 keeps the natural mix, T->inf approaches uniform).
+
+    Returns {group: fraction-to-KEEP} scaled so the largest fraction is
+    1.0 (pure downsampling — without-replacement sampleBy cannot
+    upsample; feed the fractions to :func:`temperature_resample`).
+    Driver-side state is one row per group."""
+    rows = df.groupBy(group_col).count().collect()
+    total = sum(r["count"] for r in rows) or 1
+    inv_t = 1.0 / float(temperature)
+    weights = {r[group_col]: (r["count"] / total) ** inv_t for r in rows}
+    z = sum(weights.values()) or 1.0
+    # keep-fraction implementing the target share, then rescale so the
+    # most-kept group passes through untouched
+    frac = {g: (weights[g] / z) / (rows_count / total)
+            for g, rows_count in ((r[group_col], r["count"]) for r in rows)}
+    peak = max(frac.values()) if frac else 1.0
+    return {g: min(f / peak, 1.0) for g, f in frac.items()}
+
+
+def temperature_resample(df: DataFrame, group_col: str, temperature: float,
+                         seed: int = 7) -> DataFrame:
+    """Deterministic stratified resample of ``df`` to the temperature-T
+    mix: one count pass (driver holds |groups| fractions), then a single
+    map-side ``sampleBy`` — no shuffle of data rows."""
+    fractions = temperature_fractions(df, group_col, temperature)
+    return df.sampleBy(group_col, fractions, seed=seed)

@@ -598,3 +598,30 @@ def test_ops_tolerate_empty_input(spark):
     v = SparkValidator({"type": "object"})
     assert v.validate_json(docs.select(F.col("text").alias("doc")),
                            "doc").count() == 0
+
+
+def test_temperature_resample(spark):
+    """Temperature-T corpus mixing: fractions hit the p^(1/T) target mix
+    exactly (pure downsampling, dominant group passes through), and the
+    map-side resample lands near the target proportions."""
+    from gojsonschema_spark.ops.text import (temperature_fractions,
+                                             temperature_resample)
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 900 else "zh") for i in range(1000)],
+        ["doc_id", "lang"])
+    fr = temperature_fractions(df, "lang", temperature=2.0)
+    # p=(0.9,0.1) -> sqrt -> shares (0.75,0.25) -> keep (0.833,2.5) ->
+    # rescaled (1/3, 1.0)
+    assert abs(fr["en"] - 1 / 3) < 1e-9 and fr["zh"] == 1.0
+    # T=1 is the identity mix
+    fr1 = temperature_fractions(df, "lang", temperature=1.0)
+    assert fr1 == {"en": 1.0, "zh": 1.0}
+
+    out = temperature_resample(df, "lang", temperature=2.0, seed=7)
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    share_en = counts["en"] / (counts["en"] + counts["zh"])
+    assert abs(share_en - 0.75) < 0.08, counts  # binomial tolerance
+    # no shuffle: sampleBy is a map-side filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
