@@ -11,7 +11,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "fingerprint", "normalize_text", "repetition_metrics",
-           "token_count_bpe", "temperature_fractions", "temperature_resample"]
+           "token_count_bpe", "temperature_fractions", "temperature_resample",
+           "pack_sequences"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -219,3 +220,48 @@ def temperature_resample(df: DataFrame, group_col: str, temperature: float,
     map-side ``sampleBy`` — no shuffle of data rows."""
     fractions = temperature_fractions(df, group_col, temperature)
     return df.sampleBy(group_col, fractions, seed=seed)
+
+
+def pack_sequences(df: DataFrame, token_col: str, budget: int,
+                   pack_col: str = "pack_id") -> DataFrame:
+    """Greedy next-fit packing of documents into fixed token-budget
+    training sequences: adds ``pack_col`` such that the token sum within
+    each pack is <= ``budget`` (a document longer than the budget gets a
+    pack of its own).
+
+    Packing is PARTITION-LOCAL by design: bins never cross partitions, so
+    the pass is mapInPandas with O(1) state and zero shuffle — global
+    packing would serialize the corpus for a ~budget/2 tail improvement
+    per partition. Pack ids are (partition_id << 33) | local_id,
+    deterministic for a deterministic partitioning (the resumable-run
+    scenario)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # NB: StructType.add MUTATES (and df.schema is cached on the
+    # DataFrame) — build a fresh StructType instead
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(pack_col, LongType())])
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+
+    def pack(batches):
+        import pandas as pd  # noqa: F401  (worker-side)
+
+        local = 0
+        used = None  # tokens used in the open pack; None = no pack yet
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            ids = []
+            for t in pdf[token_col]:
+                t = int(t) if t == t else 0  # NaN-safe
+                if used is None or used + t > budget:
+                    local += 0 if used is None else 1
+                    used = 0
+                used += t
+                ids.append((pid << 33) | local)
+            res = pdf.drop(columns=["__pid"])
+            res[pack_col] = ids
+            yield res
+
+    return with_pid.mapInPandas(pack, schema=out_schema)

@@ -625,3 +625,35 @@ def test_temperature_resample(spark):
     # no shuffle: sampleBy is a map-side filter
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences(spark):
+    """Greedy next-fit packing: every pack's token sum <= budget,
+    oversized docs get their own pack, ids deterministic across reruns,
+    zero shuffle."""
+    from gojsonschema_spark.ops.text import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(
+        [300, 300, 300, 200, 900, 1500, 100, 100, 700, 50])]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(2, "doc_id")
+    out = pack_sequences(df, "n_tokens", budget=1000)
+    rows1 = out.collect()
+    sums = {}
+    for r in rows1:
+        sums[r.pack_id] = sums.get(r.pack_id, 0) + r.n_tokens
+    assert all(s <= 1500 for s in sums.values())
+    # only the oversized 1500-token doc may exceed the budget, alone
+    over = [pid for pid, s in sums.items() if s > 1000]
+    for pid in over:
+        members = [r for r in rows1 if r.pack_id == pid]
+        assert len(members) == 1 and members[0].n_tokens == 1500
+    assert out.count() == 10
+    # deterministic
+    rows2 = pack_sequences(df, "n_tokens", budget=1000).collect()
+    assert sorted((r.doc_id, r.pack_id) for r in rows1) == \
+           sorted((r.doc_id, r.pack_id) for r in rows2)
+    # packing adds NO shuffle: MapInPandas sits directly above the input
+    # (any Exchange in the plan is the test's own repartition, BELOW it)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") < plan.index("Exchange")
