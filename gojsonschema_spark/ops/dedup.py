@@ -23,7 +23,8 @@ from .text import normalize_text, tokenize
 __all__ = ["exact_duplicates", "shingles", "minhash_signatures",
            "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs",
            "embedding_near_dups", "lsh_embedding_near_dups",
-           "duplicate_paragraphs", "contamination_check"]
+           "duplicate_paragraphs", "contamination_check",
+           "duplicate_clusters", "dedup_keep_canonical"]
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -315,3 +316,54 @@ def contamination_check(df: DataFrame, benchmark: DataFrame,
     return (corpus.join(F.broadcast(bench), "g")
                   .groupBy(key_col)
                   .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams")))
+
+
+def duplicate_clusters(pairs: DataFrame, key_a: str = "a", key_b: str = "b",
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over a duplicate-pair edge list (the step
+    between :func:`minhash_lsh_pairs` / :func:`embedding_near_dups` and
+    actual deletion: duplicates form CLUSTERS via transitivity, not just
+    pairs). Returns (key, cluster) with cluster = min key in the
+    component.
+
+    Min-label propagation: each iteration joins current labels across the
+    edge list and keeps the per-key minimum; converges in O(diameter)
+    iterations (duplicate clusters are near-cliques from banded LSH, so
+    typically 2-3). Scale shape per iteration: one shuffle join keyed on
+    the node id + one min-aggregate — no driver-side graph; the only
+    collected value is the converged-yet count."""
+    edges = (pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+             .union(pairs.select(F.col(key_b).alias("src"),
+                                 F.col(key_a).alias("dst"))))
+    labels = (edges.select(F.col("src").alias("key"))
+              .distinct()
+              .withColumn("cluster", F.col("key")))
+    for _ in range(max_iter):
+        # neighbor labels + own label, keep the minimum
+        neighbor = (edges.join(labels, edges.dst == labels.key)
+                    .select(F.col("src").alias("key"),
+                            F.col("cluster")))
+        new_labels = (labels.select("key", "cluster").union(neighbor)
+                      .groupBy("key").agg(F.min("cluster").alias("cluster")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "key")
+                   .filter(F.col("n.cluster") != F.col("o.cluster"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         key_col: str = "doc_id",
+                         key_a: str = "a", key_b: str = "b") -> DataFrame:
+    """Drop every member of each duplicate cluster except its canonical
+    (minimum-key) survivor. Non-clustered rows pass through untouched:
+    the cluster map covers only keys that appear in a pair, so the join
+    is against a SMALL side (duplicates are a few % of a web corpus) and
+    broadcasts."""
+    clusters = duplicate_clusters(pairs, key_a, key_b)
+    losers = clusters.filter(F.col("key") != F.col("cluster")).select("key")
+    return df.join(F.broadcast(losers),
+                   df[key_col] == losers.key, "left_anti")

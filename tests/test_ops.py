@@ -657,3 +657,24 @@ def test_pack_sequences(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert plan.index("MapInPandas") < plan.index("Exchange")
+
+
+def test_duplicate_clusters_and_canonical(spark):
+    """Connected components over duplicate pairs: a chain (1-2, 2-3, 3-4)
+    plus a separate pair (10-11) cluster correctly under min-label, and
+    dedup_keep_canonical keeps exactly one survivor per cluster plus all
+    unpaired rows."""
+    from gojsonschema_spark.ops.dedup import (dedup_keep_canonical,
+                                              duplicate_clusters)
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["a", "b"])
+    labels = {r.key: r.cluster for r in duplicate_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 5, 6, 10, 11]],
+        ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_canonical(corpus, pairs).collect())
+    assert kept == [1, 5, 6, 10]
