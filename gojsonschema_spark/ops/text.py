@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "fingerprint", "normalize_text", "repetition_metrics",
            "token_count_bpe", "temperature_fractions", "temperature_resample",
-           "pack_sequences"]
+           "pack_sequences", "redact_pii"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -265,3 +265,33 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
             yield res
 
     return with_pid.mapInPandas(pack, schema=out_schema)
+
+
+# conservative, high-precision PII patterns (the standard pre-training
+# scrub: emails, phone-like number runs, IPv4s); precision over recall —
+# a corpus scrub must not mangle ordinary prose
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\.){3}"
+            r"(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\b",
+    "phone": r"(?<![0-9])(?:\+?[0-9]{1,3}[-. ])?(?:\([0-9]{3}\)[-. ]?"
+             r"|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}(?![0-9])",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Redact emails / IPv4s / phone-number shapes to typed placeholders
+    (``<EMAIL>``, ``<IP>``, ``<PHONE>``) and count replacements per kind —
+    one map-side pass of chained native regexp_replace (counts via
+    regexp_count BEFORE replacement, so overlapping kinds are attributed
+    to the first pattern applied, in _PII_PATTERNS order)."""
+    text = F.col(text_col)
+    counts = []
+    redacted = text
+    for kind, pat in _PII_PATTERNS.items():
+        counts.append(F.regexp_count(redacted, F.lit(pat))
+                      .alias(f"n_{kind}"))
+        redacted = F.regexp_replace(redacted, pat,
+                                    f"<{kind.upper().replace('IPV4', 'IP')}>")
+    return df.select("*", *counts, redacted.alias(out_col))

@@ -678,3 +678,23 @@ def test_duplicate_clusters_and_canonical(spark):
     kept = sorted(r.doc_id for r in
                   dedup_keep_canonical(corpus, pairs).collect())
     assert kept == [1, 5, 6, 10]
+
+
+def test_redact_pii(spark):
+    from gojsonschema_spark.ops.text import redact_pii
+
+    df = spark.createDataFrame([
+        ("a", "contact joe.smith+x@example.co.uk or call 555-123-4567 now"),
+        ("b", "server at 192.168.1.254 answered; version 1.2.3 is fine"),
+        ("c", "plain text, no pii at all, 12345"),
+    ], ["id", "text"])
+    out = {r.id: r for r in redact_pii(df).collect()}
+    assert out["a"].n_email == 1 and out["a"].n_phone == 1
+    assert out["a"].text_redacted == "contact <EMAIL> or call <PHONE> now"
+    assert out["b"].n_ipv4 == 1
+    assert "<IP>" in out["b"].text_redacted
+    assert "1.2.3" in out["b"].text_redacted  # version strings survive
+    assert out["c"].text_redacted == out["c"].text
+    assert (out["c"].n_email, out["c"].n_ipv4, out["c"].n_phone) == (0, 0, 0)
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
