@@ -24,7 +24,8 @@ __all__ = ["exact_duplicates", "shingles", "minhash_signatures",
            "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs",
            "embedding_near_dups", "lsh_embedding_near_dups",
            "duplicate_paragraphs", "contamination_check",
-           "duplicate_clusters", "dedup_keep_canonical"]
+           "duplicate_clusters", "dedup_keep_canonical",
+           "boilerplate_lines", "strip_boilerplate"]
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -367,3 +368,47 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     losers = clusters.filter(F.col("key") != F.col("cluster")).select("key")
     return df.join(F.broadcast(losers),
                    df[key_col] == losers.key, "left_anti")
+
+
+def boilerplate_lines(df: DataFrame, host_col: str = "host",
+                      text_col: str = "text", min_docs: int = 4,
+                      frac: float = 0.5) -> DataFrame:
+    """Per-host boilerplate detection (nav bars, footers, cookie banners):
+    a line occurring in >= ``frac`` of a host's documents (hosts with >=
+    ``min_docs`` docs) is boilerplate. Returns (host, line_fp, df, n_docs).
+
+    Scale shape: per-document DISTINCT line fingerprints explode to
+    (host, fp) rows (16-byte digests, not line text); one count shuffle
+    keyed on (host, fp); host doc-counts reduce to |hosts| rows and
+    broadcast back."""
+    lines = F.array_distinct(F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != ""))
+    per_doc = (df.select(F.col(host_col), F.explode(lines).alias("line"))
+               .select(host_col, F.md5("line").alias("line_fp")))
+    line_df = (per_doc.groupBy(host_col, "line_fp")
+               .agg(F.count(F.lit(1)).alias("df")))
+    host_docs = (df.groupBy(host_col)
+                 .agg(F.count(F.lit(1)).alias("n_docs"))
+                 .filter(F.col("n_docs") >= min_docs))
+    return (line_df.join(F.broadcast(host_docs), host_col)
+            .filter(F.col("df") >= frac * F.col("n_docs")))
+
+
+def strip_boilerplate(df: DataFrame, bp: DataFrame,
+                      host_col: str = "host", text_col: str = "text",
+                      out_col: str = "text_clean") -> DataFrame:
+    """Remove the detected boilerplate lines from each document: the
+    boilerplate set folds to one fp-array per host (small: repeated
+    chrome, not content), joins back on host, and a per-row array filter
+    rebuilds the text. Hosts with no boilerplate pass through."""
+    sets = bp.groupBy(host_col).agg(
+        F.collect_set("line_fp").alias("__bp_fps"))
+    joined = df.join(sets, on=host_col, how="left")
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.when(F.col("__bp_fps").isNotNull(), F.filter(
+        lines,
+        lambda l: ~F.array_contains(F.col("__bp_fps"), F.md5(F.trim(l))))
+    ).otherwise(lines)
+    return (joined.withColumn(out_col, F.array_join(kept, "\n"))
+            .drop("__bp_fps"))

@@ -698,3 +698,33 @@ def test_redact_pii(spark):
     assert (out["c"].n_email, out["c"].n_ipv4, out["c"].n_phone) == (0, 0, 0)
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_boilerplate_detection_and_strip(spark):
+    """Lines repeated across >= frac of a host's docs are detected and
+    stripped; content lines and other hosts survive untouched."""
+    from gojsonschema_spark.ops.dedup import (boilerplate_lines,
+                                              strip_boilerplate)
+
+    footer = "(c) 2026 ExampleCorp | privacy | terms"
+    nav = "home products about contact"
+    rows = []
+    for i in range(4):
+        rows.append(("h1", f"article {i} body text\n{nav}\n{footer}"))
+    rows.append(("h1", f"article 4 no nav today\n{footer}"))
+    rows.append(("h2", f"other host page\n{footer}"))  # h2 below min_docs
+    df = spark.createDataFrame(rows, ["host", "text"])
+
+    bp = boilerplate_lines(df, min_docs=4, frac=0.6)
+    found = {(r.host, r.df) for r in bp.collect()}
+    # footer in 5/5 h1 docs, nav in 4/5; both >= 0.6 * 5
+    assert len(found) == 2 and all(h == "h1" for h, _ in found)
+
+    out = {(r.host, r.text): r.text_clean
+           for r in strip_boilerplate(df, bp).collect()}
+    for (host, text), clean in out.items():
+        if host == "h1":
+            assert footer not in clean and nav not in clean
+            assert "article" in clean
+        else:
+            assert clean == text  # untouched host
