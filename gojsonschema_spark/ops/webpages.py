@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["generate_webpages", "FLAGSHIP_SCHEMA", "webpage_doc_column",
-           "normalize_url"]
+           "normalize_url", "url_host"]
 
 _WORDS = ("the quick brown fox jumps over lazy dog data spark schema json "
           "valid check table scan web page crawl text token index shard "
@@ -152,3 +152,11 @@ def normalize_url(url: F.Column) -> F.Column:
     # trim trailing slash on non-root query-less paths (root keeps "/")
     u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?]+/[^?]*[^/?])/$", r"$1")
     return u
+
+
+def url_host(url: F.Column) -> F.Column:
+    """Lowercased host of a URL (authority minus userinfo/port) — the
+    grouping key for boilerplate removal and skew salting. Native regexp;
+    NULL for urls without an authority."""
+    host = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?@]*@)?([^/?:]+)", 1)
+    return F.when(host != "", F.lower(host))

@@ -728,3 +728,15 @@ def test_boilerplate_detection_and_strip(spark):
             assert "article" in clean
         else:
             assert clean == text  # untouched host
+
+
+def test_url_host(spark):
+    from gojsonschema_spark.ops.webpages import url_host
+
+    df = spark.createDataFrame([
+        ("https://User@Example.COM:8443/p?q#f",),
+        ("http://host0.example.com/page/1",),
+        ("::not a uri 5",),
+    ], ["url"])
+    got = [r.h for r in df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert got == ["example.com", "host0.example.com", None]
