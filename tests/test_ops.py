@@ -740,3 +740,68 @@ def test_url_host(spark):
     ], ["url"])
     got = [r.h for r in df.select(url_host(F.col("url")).alias("h")).collect()]
     assert got == ["example.com", "host0.example.com", None]
+
+
+def test_full_modern_pipeline(spark):
+    """The complete modern preprocessing chain over the synthetic corpus:
+    validate -> host boilerplate strip -> PII redact -> exact+cluster
+    dedup -> quality/repetition filter -> temperature mix -> sequence
+    packing. Asserts structural invariants at each stage."""
+    from gojsonschema_spark.ops.dedup import (boilerplate_lines,
+                                              dedup_keep_canonical,
+                                              exact_duplicates,
+                                              strip_boilerplate)
+    from gojsonschema_spark.ops.text import (pack_sequences, redact_pii,
+                                             repetition_metrics,
+                                             temperature_resample,
+                                             token_count_bpe)
+    from gojsonschema_spark.ops.webpages import (generate_webpages,
+                                                 url_host)
+    from pyspark.sql.window import Window
+
+    pages = (generate_webpages(spark, 1500, partitions=8)
+             .withColumn("host", url_host(F.col("url")))
+             .withColumn("doc_id", F.xxhash64("url", "warc_ts"))
+             .cache())
+    n0 = pages.count()
+
+    # 1. boilerplate strip (hosts with enough pages)
+    bp = boilerplate_lines(pages, min_docs=8, frac=0.8)
+    cleaned = strip_boilerplate(pages, bp)
+    assert cleaned.count() == n0
+
+    # 2. PII redaction
+    red = redact_pii(cleaned, text_col="text_clean", out_col="text_final")
+    assert red.count() == n0
+
+    # 3. exact dedup -> canonical survivors (pairs from dup groups)
+    groups = exact_duplicates(red, text_col="text_final", key_col="doc_id",
+                              max_members=64)
+    pairs = (groups.select(F.explode("members").alias("m"),
+                           F.col("members")[0].alias("a"))
+             .filter(F.col("m") != F.col("a"))
+             .select("a", F.col("m").alias("b")))
+    deduped = dedup_keep_canonical(red, pairs, key_col="doc_id")
+    n_dupes = pairs.count()
+    assert deduped.count() == n0 - n_dupes
+
+    # 4. quality + repetition filter
+    scored = repetition_metrics(deduped, "text_final")
+    kept = scored.filter((F.col("top_bigram_char_frac") < 0.95)
+                         & (F.length("text_final") > 0))
+    nk = kept.count()
+    assert 0 < nk <= n0 - n_dupes
+
+    # 5. temperature mix over lang
+    mixed = temperature_resample(kept, "lang", temperature=3.0, seed=11)
+    assert 0 < mixed.count() <= nk
+
+    # 6. packing into 2048-token sequences
+    packed = pack_sequences(
+        mixed.withColumn("n_tok", token_count_bpe(mixed, "text_final")),
+        "n_tok", budget=2048)
+    sums = (packed.groupBy("pack_id").agg(F.sum("n_tok").alias("s"),
+                                          F.count(F.lit(1)).alias("m")))
+    # every multi-doc pack respects the budget
+    assert sums.filter((F.col("m") > 1) & (F.col("s") > 2048)).count() == 0
+    pages.unpersist()
