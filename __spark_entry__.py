@@ -465,14 +465,37 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    # oracle omitted (not SQL-expressible) -> driver rows-only check
-    return dd.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), num_hashes=32,
-                                bands=8)
+    """Full MinHash->banded-LSH->exact-verify dedup pipeline, now with a
+    true equality oracle: at similarity threshold 1.0 banded LSH has
+    recall 1.0 by construction (byte-identical texts hash to identical
+    signatures, so they collide in EVERY band), and the exact n-gram
+    Jaccard verifier drops the near-dup candidates the bands also surface
+    (measured at this corpus: 31 extra candidates at Jaccard 0.90-0.99 on
+    top of the 50 planted dups — the verify stage is load-bearing).
+    DuckDB derives the expected pair set from md5(normalized_text)
+    groups. xxhash64 itself stays pinned by the bit-exact pure-Python
+    pipeline oracle in tests/test_minhash_reference.py."""
+    corpus = _dup_corpus(spark, sf_dir)
+    cand = dd.minhash_lsh_pairs(corpus, num_hashes=32, bands=8)
+    return (dd.ngram_jaccard_pairs(corpus, cand, threshold=1.0)
+            .select("key_a", "key_b"))
 
 
 def q_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", dd.simhash(F.col("text"), bits=16).alias("sh"))
+    """SimHash dedup with the same equality-oracle trick: 64-bit SimHash
+    signatures of byte-identical texts are identical, so signature-equal
+    candidate pairs verified at exact Jaccard 1.0 must equal the
+    md5-group pair set (a wrong simhash drops planted pairs -> red row).
+    The 5 signature-collision near-dups this corpus produces at 64 bits
+    are filtered by the verifier."""
+    corpus = _dup_corpus(spark, sf_dir)
+    sh = corpus.select("doc_id", dd.simhash(F.col("text"), bits=64).alias("sh"))
+    cand = (sh.alias("a").join(sh.alias("b"), F.col("a.sh") == F.col("b.sh"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("key_a"),
+                    F.col("b.doc_id").alias("key_b")))
+    return (dd.ngram_jaccard_pairs(corpus, cand, threshold=1.0)
+            .select("key_a", "key_b"))
 
 
 # ---------------------------------------------------------------------------
@@ -563,11 +586,23 @@ def q_validate_variant(spark, sf_dir):
 def q_sessionize_events(spark, sf_dir):
     """Batch-mode sessionization (same gap rule as the stateful streaming
     operator spark/streaming.py sessionize_stream — equivalence pytest-
-    gated in tests/test_streaming.py)."""
+    gated in tests/test_streaming.py).
+
+    Driver-row rendering: session bounds as TZ-free ISO strings
+    (date_format over TIMESTAMP_NTZ needs no session-timezone hop) and
+    session_id as explicit bigint — DuckDB's window SUM yields HUGEINT,
+    which pandas canonicalizers coerce to float64 and hash differently
+    from Spark's int64 (the r3 hash_match=false)."""
     from gojsonschema_spark.spark.streaming import sessionize_batch
     e = _t(spark, sf_dir, "events")
-    return sessionize_batch(e, "user_id", "ts", gap_sec=1800.0,
-                            tiebreak_col="event_id")
+    s = sessionize_batch(e, "user_id", "ts", gap_sec=1800.0,
+                         tiebreak_col="event_id")
+    iso = lambda c: F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return s.select("user_id",
+                    F.col("session_id").cast("long").alias("session_id"),
+                    iso("session_start").alias("session_start"),
+                    iso("session_end").alias("session_end"),
+                    "n_events")
 
 
 def q_ann_ivf_pruned(spark, sf_dir):
@@ -621,10 +656,15 @@ def q_multimodal_features(spark, sf_dir):
          .select(F.col("doc_id").cast("string").alias("key"),
                  F.encode("text", "UTF-8").alias("payload")))
     feats = mm.extract_features(d)
+    # scalar rendering: the driver's pandas canonicalizer cannot sort/hash
+    # an array<int> column (r3 err) — join the recovered digest bytes into
+    # one CSV string; DuckDB mirrors with array_to_string
     return feats.select(
         "key",
-        F.transform("feature",
-                    lambda x: F.round(x * 255).cast("int")).alias("feature_bytes"),
+        F.concat_ws(",", F.transform(
+            "feature",
+            lambda x: F.round(x * 255).cast("int").cast("string")))
+         .alias("feature_csv"),
         "n_bytes")
 
 
@@ -791,6 +831,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multischema_kinds": q_multischema,
         "token_count_bpe": q_token_count_bpe,
     }
+
+
+_EXACT_PAIR_ORACLE = r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ), fps AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM corpus
+    )
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1056,8 +1111,9 @@ def oracle_sql() -> dict[str, str]:
                                         ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM g
             )
-            SELECT user_id, session_id,
-                   min(ts) AS session_start, max(ts) AS session_end,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY 1, 2
         """,
@@ -1084,8 +1140,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": """
             SELECT CAST(doc_id AS VARCHAR) AS key,
-                   [('0x' || substr(md5(text), 2*i-1, 2))::INT for i in range(1, 9)]
-                       AS feature_bytes,
+                   array_to_string(list_transform(generate_series(1, 8),
+                       i -> ('0x' || substr(md5(text), 2*i-1, 2))::INT::VARCHAR),
+                       ',') AS feature_csv,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
         """,
@@ -1174,6 +1231,11 @@ def oracle_sql() -> dict[str, str]:
                      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) AS n_bpe_tokens
             FROM documents
         """,
-        # minhash_lsh_pairs, simhash: not SQL-expressible -> rows-only check
+        # minhash_lsh_pairs / simhash: the verified pair set at threshold
+        # 1.0 equals the md5(normalized_text) duplicate groups (recall 1.0
+        # at exact similarity is guaranteed by banded LSH / signature
+        # equality; the Jaccard-1.0 verifier removes near-dup candidates)
+        "minhash_lsh_pairs": _EXACT_PAIR_ORACLE,
+        "simhash": _EXACT_PAIR_ORACLE,
     })
     return out
