@@ -332,28 +332,44 @@ def duplicate_clusters(pairs: DataFrame, key_a: str = "a", key_b: str = "b",
     iterations (duplicate clusters are near-cliques from banded LSH, so
     typically 2-3). Scale shape per iteration: one shuffle join keyed on
     the node id + one min-aggregate — no driver-side graph; the only
-    collected value is the converged-yet count."""
+    collected value is the converged-yet count. Each generation is
+    materialized via ``localCheckpoint`` (lineage TRUNCATED, not just
+    cached): without it, iteration k's convergence count re-executes all
+    k prior joins and iteration k+1 re-executes them again — O(k^2)
+    stage executions and an exponentially deepening plan. With the
+    checkpoint, the returned plan references a constant-depth scan
+    regardless of iteration count (gated in
+    tests/test_duplicate_clusters_and_canonical). Raises RuntimeError if
+    ``max_iter`` is exhausted before convergence — silently returning
+    half-propagated labels would make dedup_keep_canonical keep extra
+    duplicates."""
     edges = (pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
              .union(pairs.select(F.col(key_b).alias("src"),
                                  F.col(key_a).alias("dst"))))
+    # edges are re-scanned every iteration — materialize once
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("key"))
               .distinct()
-              .withColumn("cluster", F.col("key")))
+              .withColumn("cluster", F.col("key"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         # neighbor labels + own label, keep the minimum
         neighbor = (edges.join(labels, edges.dst == labels.key)
                     .select(F.col("src").alias("key"),
                             F.col("cluster")))
         new_labels = (labels.select("key", "cluster").union(neighbor)
-                      .groupBy("key").agg(F.min("cluster").alias("cluster")))
+                      .groupBy("key").agg(F.min("cluster").alias("cluster"))
+                      .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "key")
                    .filter(F.col("n.cluster") != F.col("o.cluster"))
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"duplicate_clusters did not converge within max_iter={max_iter} "
+        f"iterations (component diameter exceeds the budget); raise max_iter")
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
@@ -401,10 +417,13 @@ def strip_boilerplate(df: DataFrame, bp: DataFrame,
     """Remove the detected boilerplate lines from each document: the
     boilerplate set folds to one fp-array per host (small: repeated
     chrome, not content), joins back on host, and a per-row array filter
-    rebuilds the text. Hosts with no boilerplate pass through."""
+    rebuilds the text. Hosts with no boilerplate pass through. The
+    fp-set side is broadcast EXPLICITLY (|hosts| rows, not 10^12) — at
+    scale, misleading statistics must not silently demote this to a
+    sort-merge shuffle of the whole corpus on host."""
     sets = bp.groupBy(host_col).agg(
         F.collect_set("line_fp").alias("__bp_fps"))
-    joined = df.join(sets, on=host_col, how="left")
+    joined = df.join(F.broadcast(sets), on=host_col, how="left")
     lines = F.split(F.col(text_col), r"\n")
     kept = F.when(F.col("__bp_fps").isNotNull(), F.filter(
         lines,

@@ -190,21 +190,24 @@ def lsh_probe_topk(spark: SparkSession, index_source: str,
                    round_to: int = 6,
                    multiprobe_bits: int = 0) -> DataFrame:
     """ANN top-k against a persisted LSH index: the query signature (and,
-    with ``multiprobe_bits`` > 0, its single-bit-flip neighbors — standard
-    multiprobe to cut the miss rate) selects partitions; the scan reads
-    only those buckets."""
+    with ``multiprobe_bits`` > 0, every neighbor within Hamming distance
+    ``multiprobe_bits`` — standard multiprobe to cut the miss rate)
+    selects partitions; the scan reads only those buckets. Flip sets of
+    ALL sizes 1..multiprobe_bits are probed: the nearest (fewest-flip)
+    buckets hold the most probable misses, so probing only the exactly-m
+    flips (the r3 bug) skipped the highest-recall neighbors."""
     import itertools
     from ..io.tables import read_pages
     q = [float(x) for x in query_vec]
     q_sig = sum((1 << i) for i, p in enumerate(planes)
                 if sum(a * b for a, b in zip(q, p)) >= 0)
     sigs = {q_sig}
-    for flips in itertools.combinations(range(len(planes)),
-                                        min(multiprobe_bits, len(planes))):
-        s = q_sig
-        for b in flips:
-            s ^= (1 << b)
-        sigs.add(s)
+    for r in range(1, min(multiprobe_bits, len(planes)) + 1):
+        for flips in itertools.combinations(range(len(planes)), r):
+            s = q_sig
+            for b in flips:
+                s ^= (1 << b)
+            sigs.add(s)
     cand = read_pages(spark, index_source, bucket_col=sig_col,
                       buckets=sorted(sigs))
     return brute_force_topk(cand, query_vec, k, vec_col, key_col, round_to)

@@ -204,6 +204,17 @@ def test_lsh_persisted_index_partition_pruned(spark, tmp_path):
     multi = sim.lsh_probe_topk(spark, idx, q, planes, k=3, multiprobe_bits=1)
     multi.collect()
     assert _scan_partitions_read(multi) == 2
+    # r4 fix: flip sets of ALL sizes 1..m. bits=2 must still probe the
+    # 1-flip neighbor (sig 2, where the vec_id>=100 bucket lives) — the
+    # r3 code probed only exactly-2-flip sets and would read 1 partition
+    # here, silently LOWER recall than bits=1
+    ids1 = {r.vec_id for r in sim.lsh_probe_topk(
+        spark, idx, q, planes, k=40, multiprobe_bits=1).collect()}
+    multi2 = sim.lsh_probe_topk(spark, idx, q, planes, k=40, multiprobe_bits=2)
+    ids2 = {r.vec_id for r in multi2.collect()}
+    assert _scan_partitions_read(multi2) == 2
+    assert ids1 <= ids2
+    assert any(v >= 100 for v in ids2)
 
 
 def test_multimodal_features(spark):
@@ -680,6 +691,31 @@ def test_duplicate_clusters_and_canonical(spark):
     assert kept == [1, 5, 6, 10]
 
 
+def test_duplicate_clusters_lineage_truncated(spark):
+    """The iterative min-label loop localCheckpoints each generation:
+    the returned plan must reference the materialized checkpoint, NOT the
+    k-deep join chain (r3 weak item: uncached lineage re-executed every
+    prior iteration per convergence count and doubled per round)."""
+    import pytest
+
+    from gojsonschema_spark.ops.dedup import duplicate_clusters
+
+    # a 12-node path: min label needs ~11 propagation hops, so without
+    # truncation the final plan would nest ~11 joins
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], ["a", "b"])
+    labels = duplicate_clusters(chain, max_iter=20)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    # constant-depth: the checkpointed result is a bare scan — zero joins
+    # left in its lineage no matter how many iterations ran
+    assert "Join" not in plan
+    assert {r.cluster for r in labels.collect()} == {0}
+
+    # exhausting max_iter must raise, not silently return half-propagated
+    # labels (ADVICE r3)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=2)
+
+
 def test_redact_pii(spark):
     from gojsonschema_spark.ops.text import redact_pii
 
@@ -720,14 +756,21 @@ def test_boilerplate_detection_and_strip(spark):
     # footer in 5/5 h1 docs, nav in 4/5; both >= 0.6 * 5
     assert len(found) == 2 and all(h == "h1" for h, _ in found)
 
-    out = {(r.host, r.text): r.text_clean
-           for r in strip_boilerplate(df, bp).collect()}
+    stripped = strip_boilerplate(df, bp)
+    out = {(r.host, r.text): r.text_clean for r in stripped.collect()}
     for (host, text), clean in out.items():
         if host == "h1":
             assert footer not in clean and nav not in clean
             assert "article" in clean
         else:
             assert clean == text  # untouched host
+
+    # the per-host fp-set join must be an EXPLICIT broadcast (r4): at
+    # scale, stale statistics must never demote it to a sort-merge
+    # shuffle of the corpus on host
+    plan = stripped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_url_host(spark):
