@@ -57,8 +57,20 @@ def _sub_validate(schema, node, instance, context) -> Result:
 # depth-k-unroll-then-TRUE semantics (C ∧ ... ∧ C ∧ TRUE == C) and never
 # changes a verdict on any schema where the reference terminates — a
 # terminating run never revisits a pair. try/finally keeps the set
-# path-scoped, including during exception unwind.
-_REF_PATH: set = set()
+# path-scoped, including during exception unwind. The set is
+# THREAD-LOCAL (ADVICE r3): a module-level set shared across threads
+# would let one driver thread's in-flight (schema, node) key
+# short-circuit another thread's identical traversal to 'valid'
+# (worker-side UDF execution is single-threaded per interpreter; the
+# exposure was concurrent driver-side validate_document calls).
+_REF_STATE = __import__("threading").local()
+
+
+def _ref_path() -> set:
+    path = getattr(_REF_STATE, "path", None)
+    if path is None:
+        path = _REF_STATE.path = set()
+    return path
 
 
 def _validate_recursive(schema, cur: SubSchema, node, result: Result, ctx: tuple):
@@ -71,13 +83,14 @@ def _validate_recursive(schema, cur: SubSchema, node, result: Result, ctx: tuple
     # $ref delegation
     if cur.ref_schema is not None:
         key = (id(cur), id(node))
-        if key in _REF_PATH:
+        path = _ref_path()
+        if key in path:
             return  # no-progress $ref cycle: greatest fixed point => valid
-        _REF_PATH.add(key)
+        path.add(key)
         try:
             _validate_recursive(schema, cur.ref_schema, node, result, ctx)
         finally:
-            _REF_PATH.discard(key)
+            path.discard(key)
         return
 
     if node is None:

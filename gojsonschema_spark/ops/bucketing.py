@@ -25,17 +25,37 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     SortMergeJoin reads both sides streaming. Idempotent across sessions:
     with an in-memory catalog, a rerun in a NEW session finds the managed
     table's directory on disk but no catalog entry, and saveAsTable fails
-    with LOCATION_ALREADY_EXISTS even in overwrite mode — drop the table
-    AND delete any orphaned location first."""
+    with LOCATION_ALREADY_EXISTS even in overwrite mode.
+
+    Overwrite discipline (ADVICE r3): a cataloged MANAGED table is
+    dropped through the catalog (Spark deletes its own location, wherever
+    it actually is); a cataloged EXTERNAL/relocated table is REFUSED —
+    its directory is not ours to clobber. Only when the catalog has no
+    entry do we delete the DEFAULT managed location (the stale-dir case),
+    computed per namespace ({warehouse}/{db}.db/{tbl} for db-qualified
+    names, never the naive {warehouse}/{db.tbl})."""
     spark = df.sparkSession
+    parts = table.split(".")
+    if len(parts) > 2:
+        raise ValueError(f"expected [db.]table, got {table!r}")
+    qualified = ".".join(f"`{p}`" for p in parts)
     if mode == "overwrite":
-        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        sc = spark.sparkContext
-        p = sc._jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table}")
-        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
-        if fs.exists(p):
-            fs.delete(p, True)
+        if spark.catalog.tableExists(table):
+            ttype = spark.catalog.getTable(table).tableType
+            if ttype != "MANAGED":
+                raise ValueError(
+                    f"refusing to overwrite {ttype} table {table}: its "
+                    f"location is not owned by this writer")
+            spark.sql(f"DROP TABLE {qualified}")
+        else:
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            prefix = f"{parts[0]}.db/" if len(parts) == 2 else ""
+            sc = spark.sparkContext
+            p = sc._jvm.org.apache.hadoop.fs.Path(
+                f"{warehouse}/{prefix}{parts[-1]}")
+            fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                fs.delete(p, True)
     w = df.write.mode(mode).bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -29,7 +29,19 @@ def with_salt(df: DataFrame, key: str, n_salts: int = 32,
     within partition) into the content hash: rows that agree on every
     column still fan out across lanes. Position is deterministic for a
     deterministic scan (same files, same split order) — the resumable-
-    rerun scenario this op is designed for — unlike rand()."""
+    rerun scenario this op is designed for — unlike rand().
+
+    Determinism caveat (ADVICE r3): the position component depends on the
+    PHYSICAL partition layout, so reruns reproduce salts only when the
+    scan layout is byte-identical — same files, same
+    maxPartitionBytes/AQE coalescing, no upstream repartition change. A
+    layout change re-deals rows across lanes (per-lane partials differ;
+    the stage-2 combine is still exact). monotonically_increasing_id is
+    also a non-deterministic expression to Catalyst, which blocks
+    predicate/projection pushdown THROUGH the salted projection — salt
+    late, after filters, or derive the position from stable inputs
+    (input_file_name + per-file offset) where exact resumability of the
+    partials matters."""
     return df.withColumn(
         salt_col,
         F.pmod(F.xxhash64(F.monotonically_increasing_id(),

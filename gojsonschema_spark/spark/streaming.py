@@ -24,7 +24,8 @@ from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
 from .engine import SparkValidator
 
 __all__ = ["validate_stream", "windowed_invalid_rate", "sessionize_stream",
-           "sessionize_batch", "dedup_stream", "windowed_drift_kl"]
+           "sessionize_batch", "sessionize_skew_guarded", "dedup_stream",
+           "windowed_drift_kl"]
 
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
@@ -151,6 +152,95 @@ def sessionize_batch(df: DataFrame, key_col: str = "user_id",
               .agg(F.min(ts_col).alias("session_start"),
                    F.max(ts_col).alias("session_end"),
                    F.count(F.lit(1)).alias("n_events")))
+
+
+def sessionize_skew_guarded(df: DataFrame, key_col: str = "user_id",
+                            ts_col: str = "ts", gap_sec: float = 1800.0,
+                            hot_threshold: int = 5_000_000,
+                            bucket_span_sec: float = 86400.0,
+                            tiebreak_col: str | None = None) -> DataFrame:
+    """:func:`sessionize_batch` with the bot-key mitigation its docstring
+    prescribes, composed into one operator (same output schema/values).
+
+    The plain window shuffles ALL of a key's events to one task; a bot
+    key with 10^9 events serializes there. This helper:
+
+    1. finds hot keys WITHOUT a skewed shuffle (ops/skew.py
+       ``salted_counts``: two-stage salted count, broadcastable result);
+    2. sessionizes cold keys through the ordinary window;
+    3. routes hot keys through a two-level split: events bucket by
+       ``floor(epoch / bucket_span_sec)`` so each window partition is
+       (key, bucket)-sized; intra-bucket sessions whose ordinal is
+       neither first nor last in their bucket are FINAL (their distance
+       to bucket-internal neighbors exceeds ``gap_sec`` by
+       construction); only the <= 2 boundary sessions per bucket enter a
+       per-key chain-merge pass (partition size O(#buckets), bounded)
+       that stitches sessions spanning bucket edges.
+
+    Requires ``bucket_span_sec > gap_sec`` (events in non-adjacent
+    buckets are then always > gap apart, so empty buckets cannot hide a
+    mergeable pair — and the chain rule compares real timestamps anyway).
+    The final per-key session renumbering is a row_number over SESSIONS
+    (not events) — the residual per-key partition is #sessions, which is
+    what the split bounds."""
+    from pyspark.sql import Window as W
+
+    if bucket_span_sec <= gap_sec:
+        raise ValueError("bucket_span_sec must exceed gap_sec")
+
+    from ..ops.skew import salted_counts
+    hot = (salted_counts(df, key_col)
+           .filter(F.col("n") > hot_threshold).select(key_col))
+    cold_sessions = sessionize_batch(
+        df.join(F.broadcast(hot), key_col, "left_anti"),
+        key_col, ts_col, gap_sec, tiebreak_col)
+
+    epochs = lambda c: c.cast("timestamp").cast("double")
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    hot_events = (df.join(F.broadcast(hot), key_col, "inner")
+                  .withColumn("__bkt",
+                              F.floor(epochs(F.col(ts_col)) / bucket_span_sec)))
+    wb = W.partitionBy(key_col, "__bkt").orderBy(*order)
+    prev = F.lag(ts_col).over(wb)
+    new_s = (prev.isNull()
+             | (epochs(F.col(ts_col)) - epochs(prev) > gap_sec)).cast("long")
+    sid = F.sum(new_s).over(wb.rowsBetween(W.unboundedPreceding, W.currentRow))
+    intra = (hot_events
+             .select(key_col, "__bkt", F.col(ts_col), sid.alias("__sid"))
+             .groupBy(key_col, "__bkt", "__sid")
+             .agg(F.min(ts_col).alias("session_start"),
+                  F.max(ts_col).alias("session_end"),
+                  F.count(F.lit(1)).alias("n_events")))
+    # first session of a bucket always has __sid == 1 (cumsum starts at 1)
+    is_boundary = ((F.col("__sid") == 1) |
+                   (F.col("__sid") ==
+                    F.max("__sid").over(W.partitionBy(key_col, "__bkt"))))
+    marked = intra.withColumn("__boundary", is_boundary)
+    cols = [key_col, "session_start", "session_end", "n_events"]
+    final = marked.filter(~F.col("__boundary")).select(*cols)
+    bound = marked.filter(F.col("__boundary")).select(*cols)
+    wk = W.partitionBy(key_col).orderBy("session_start")
+    prev_end = F.lag("session_end").over(wk)
+    new_chain = (prev_end.isNull()
+                 | (epochs(F.col("session_start")) - epochs(prev_end)
+                    > gap_sec)).cast("long")
+    chain = F.sum(new_chain).over(
+        wk.rowsBetween(W.unboundedPreceding, W.currentRow))
+    merged = (bound.select(*cols, chain.alias("__chain"))
+              .groupBy(key_col, "__chain")
+              .agg(F.min("session_start").alias("session_start"),
+                   F.max("session_end").alias("session_end"),
+                   F.sum("n_events").alias("n_events"))
+              .select(*cols))
+    hot_all = final.unionByName(merged)
+    wn = W.partitionBy(key_col).orderBy("session_start")
+    hot_sessions = hot_all.select(
+        key_col, F.row_number().over(wn).cast("long").alias("session_id"),
+        "session_start", "session_end", "n_events")
+    out_cols = [key_col, "session_id", "session_start", "session_end",
+                "n_events"]
+    return cold_sessions.select(*out_cols).unionByName(
+        hot_sessions.select(*out_cols))
 
 
 def windowed_invalid_rate(validated: DataFrame, ts_col: str,

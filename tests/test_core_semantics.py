@@ -265,3 +265,37 @@ def test_no_progress_ref_cycle_greatest_fixed_point():
     s = compile_schema({"items": {"$ref": "#"}, "type": ["array", "integer"]})
     assert s.validate([[1, 2], [[3]]]).valid()
     assert not s.validate([["x"]]).valid()
+
+
+def test_interpreter_ref_path_thread_local():
+    """The cyclic-$ref active-path set is per-thread (ADVICE r3): a
+    concurrent validate over the SAME parsed instance must not see another
+    thread's in-flight (schema, node) key and short-circuit to valid."""
+    import threading
+
+    from gojsonschema_spark.core.compiler import SchemaCompiler
+    from gojsonschema_spark.core.interpreter import _ref_path, validate_document
+
+    assert _ref_path() is _ref_path()  # stable within a thread
+    other = {}
+    t = threading.Thread(target=lambda: other.setdefault("p", _ref_path()))
+    t.start(); t.join()
+    assert other["p"] is not _ref_path()
+
+    # hammer: many threads validating the same recursive schema + doc must
+    # all agree with the single-threaded verdict
+    schema = SchemaCompiler().compile({
+        "definitions": {"node": {
+            "type": "object", "required": ["v"],
+            "properties": {"v": {"type": "integer"},
+                           "next": {"$ref": "#/definitions/node"}}}},
+        "$ref": "#/definitions/node"})
+    doc = {"v": 1, "next": {"v": "bad"}}
+    expect = validate_document(schema, doc).valid()
+    results = []
+    threads = [threading.Thread(
+        target=lambda: results.append(validate_document(schema, doc).valid()))
+        for _ in range(16)]
+    for th in threads: th.start()
+    for th in threads: th.join()
+    assert results == [expect] * 16

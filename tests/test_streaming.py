@@ -286,3 +286,52 @@ def test_streaming_multischema_dispatch(spark, tmp_path):
                        ("video", "{}"): False}
     finally:
         q.stop()
+
+
+def test_sessionize_skew_guarded_equivalence(spark):
+    """sessionize_skew_guarded must produce byte-identical sessions to the
+    plain window path on a corpus with a synthetic bot key: the hot key is
+    routed through the (key, time-bucket) two-level split, sessions
+    straddling bucket boundaries are stitched by the chain-merge pass, and
+    cold keys take the ordinary window."""
+    import datetime as dt
+
+    from gojsonschema_spark.spark.streaming import (sessionize_batch,
+                                                    sessionize_skew_guarded)
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # bot key 999: 400 events over ~80 one-hour buckets; gap pattern mixes
+    # intra-session steps (100s < gap) with session breaks (2000s > gap),
+    # so many sessions cross the 3600s bucket edges
+    t = 0.0
+    for i in range(400):
+        t += 100.0 if i % 3 else 2000.0
+        rows.append((999, base + dt.timedelta(seconds=t), i))
+    # cold keys: few events each, one mid-stream session break
+    for k in range(5):
+        for j in range(6):
+            secs = k * 7919 + j * 400 + (5000 if j > 3 else 0)
+            rows.append((k, base + dt.timedelta(seconds=secs), 1000 + j))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+
+    plain = sessionize_batch(df, gap_sec=900.0, tiebreak_col="event_id")
+    guarded = sessionize_skew_guarded(df, gap_sec=900.0, hot_threshold=50,
+                                      bucket_span_sec=3600.0,
+                                      tiebreak_col="event_id")
+    canon = lambda d: sorted(tuple(r) for r in d.collect())
+    got = canon(guarded)
+    assert got == canon(plain)
+    # the construction really exercised the merge: the bot key has many
+    # sessions, and at least one spans a bucket boundary
+    bot = [r for r in got if r[0] == 999]
+    assert len(bot) > 50
+    crossing = [r for r in bot
+                if int((r[2] - base).total_seconds() // 3600)
+                != int((r[3] - base).total_seconds() // 3600)]
+    assert crossing, "no session crossed a bucket edge; test corpus is weak"
+
+    # span <= gap is rejected (empty-bucket merge soundness precondition)
+    import pytest
+    with pytest.raises(ValueError):
+        sessionize_skew_guarded(df, gap_sec=900.0, bucket_span_sec=900.0)
