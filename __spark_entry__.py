@@ -714,6 +714,30 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                key_col="doc_id", bench_text_col="text")
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule quality gate (ops/text.py::
+    gopher_quality_filter) over the word-per-line rendering (documents
+    text is single-line; word-per-line gives the line-based rules real
+    signal while leaving every token-based rule unchanged, since \\s+
+    tokenization treats blank and newline alike). All rule inputs are
+    integer-ratio doubles, so DuckDB reproduces the bits exactly."""
+    from gojsonschema_spark.ops.text import gopher_quality_filter
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.replace(F.lower(F.col("text")), F.lit(" "),
+                              F.lit("\n")).alias("text")))
+    # stopword list localized to the synthetic corpus vocabulary (the op's
+    # stopwords= override, as a non-English corpus would) so the
+    # stopword bit — and hence keep — actually varies
+    return (gopher_quality_filter(docs, min_words=20, min_stop_hits=3,
+                                  stopwords=("join", "hash", "row",
+                                             "batch", "scan"))
+            .select("doc_id", "ok_word_count", "ok_mean_word_len",
+                    "ok_symbol_ratio", "ok_stopwords", "ok_dup_lines",
+                    "ok_top_bigram", "keep"))
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (ops/text.py::token_count_bpe): one native
     regexp_count pass; the oracle re-derives the count with DuckDB's
@@ -724,10 +748,9 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", token_count_bpe(docs))
 
 
-def q_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row schema dispatch (spark/engine.py::MultiSchemaValidator):
-    three kinds assigned by doc_id residue, each with its own contract;
-    the oracle mirrors the per-kind validity arithmetic directly."""
+def _multischema_staged(spark: SparkSession, sf_dir: str):
+    """Shared corpus + validator for the multischema rows: three kinds
+    assigned by doc_id residue, each with its own contract."""
     from gojsonschema_spark.spark.engine import MultiSchemaValidator
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -746,8 +769,29 @@ def q_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "product": {"properties": {"price": {"minimum": 0}}},
         "metric": {"properties": {"value": {"multipleOf": 4}}},
     })
+    return staged, mv
+
+
+def q_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row schema dispatch (spark/engine.py::MultiSchemaValidator);
+    the oracle mirrors the per-kind validity arithmetic directly."""
+    staged, mv = _multischema_staged(spark, sf_dir)
     return (mv.validate_json(staged, "doc", "kind")
             .select("doc_id", "valid"))
+
+
+def q_multischema_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan dispatched violations (MultiSchemaValidator
+    .violations_table): the dispatch valid bit prunes valid rows behind a
+    Generate barrier, then kind-masked elaboration UDFs run over the
+    invalid tail only. Per-(kind, keyword) histogram is SQL-derivable
+    from the residue construction: article misses 'title' at doc_id%5==0
+    (required), product price = doc_id%7-3 < 0 (number_gte), metric
+    value % 4 != 0 (multiple_of)."""
+    staged, mv = _multischema_staged(spark, sf_dir)
+    return (mv.violations_table(staged, "doc", "kind", ["doc_id"])
+            .groupBy("kind", "keyword")
+            .agg(F.count(F.lit(1)).alias("n")))
 
 
 # ---------------------------------------------------------------------------
@@ -830,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "multischema_kinds": q_multischema,
         "token_count_bpe": q_token_count_bpe,
+        "multischema_violations": q_multischema_violations,
+        "gopher_filter": q_gopher_filter,
     }
 
 
@@ -1237,5 +1283,65 @@ def oracle_sql() -> dict[str, str]:
         # equality; the Jaccard-1.0 verifier removes near-dup candidates)
         "minhash_lsh_pairs": _EXACT_PAIR_ORACLE,
         "simhash": _EXACT_PAIR_ORACLE,
+        "gopher_filter": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> w <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, text, toks,
+                     list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                                    i -> toks[i] || ' ' || toks[i+1]) AS grams
+              FROM t
+            ), m AS (
+              SELECT doc_id,
+                     len(toks) AS n_tok,
+                     round(list_sum(list_transform(toks, v -> length(v))) * 1.0
+                           / greatest(len(toks), 1), 6) AS mean_len,
+                     len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+                     len(list_filter(['join','hash','row','batch','scan'],
+                                     w -> list_contains(toks, w))) AS stop_hits,
+                     CASE WHEN len(toks) > 0 THEN
+                         (len(toks) - len(list_distinct(toks))) * 1.0 / len(toks)
+                       ELSE 0.0 END AS dup_frac,
+                     CASE WHEN coalesce(list_sum(list_transform(grams,
+                              gg -> length(gg))), 0) > 0 THEN
+                         list_max(list_transform(list_distinct(grams),
+                             gg -> length(gg) * len(list_filter(grams,
+                                                                x -> x = gg))))
+                           * 1.0 / list_sum(list_transform(grams,
+                                                           gg -> length(gg)))
+                       ELSE 0.0 END AS big_frac
+              FROM g
+            )
+            SELECT doc_id,
+                   n_tok BETWEEN 20 AND 100000 AS ok_word_count,
+                   mean_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+                   n_sym * 1.0 / greatest(n_tok, 1) <= 0.1 AS ok_symbol_ratio,
+                   stop_hits >= 3 AS ok_stopwords,
+                   dup_frac <= 0.30 AS ok_dup_lines,
+                   big_frac <= 0.20 AS ok_top_bigram,
+                   (n_tok BETWEEN 20 AND 100000)
+                     AND (mean_len BETWEEN 3.0 AND 10.0)
+                     AND (n_sym * 1.0 / greatest(n_tok, 1) <= 0.1)
+                     AND (stop_hits >= 3) AND (dup_frac <= 0.30)
+                     AND (big_frac <= 0.20) AS keep
+            FROM m
+        """,
+        "multischema_violations": """
+            WITH r AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS k
+                       FROM documents)
+            SELECT kind, keyword, n FROM (
+                SELECT 'article' AS kind, 'required' AS keyword,
+                       count(*) AS n FROM r WHERE k = 0 AND doc_id % 5 = 0
+                UNION ALL
+                SELECT 'product', 'number_gte', count(*)
+                FROM r WHERE k = 1 AND doc_id % 7 < 3
+                UNION ALL
+                SELECT 'metric', 'multiple_of', count(*)
+                FROM r WHERE k = 2 AND doc_id % 4 <> 0
+            ) WHERE n > 0
+        """,
     })
     return out

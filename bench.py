@@ -162,6 +162,38 @@ def bench_queries(spark) -> dict[str, float]:
         .agg(F.round(F.avg("dup_line_frac"), 6),
              F.round(F.avg("top_bigram_char_frac"), 6)).collect())
 
+    # --- pipeline layer (round-3 ops, benched since r4 so regressions in
+    # the LLM-preprocessing path stay visible round-over-round) ---
+    from gojsonschema_spark.ops.webpages import url_host
+
+    # per-host boilerplate: pages text is single-line, so append a
+    # deterministic per-host footer line -> every host has real chrome
+    # for detection + strip
+    host = url_host(F.col("url"))
+    two_line = pages.select(
+        host.alias("host"),
+        F.concat_ws("\n", F.col("text"),
+                    F.concat(F.lit("(c) 2026 "), host)).alias("text"))
+
+    def run_boiler():
+        bp = dd.boilerplate_lines(two_line, min_docs=4, frac=0.5)
+        (dd.strip_boilerplate(two_line, bp)
+         .agg(F.sum(F.length("text_clean"))).collect())
+
+    run("boilerplate_strip", run_boiler)
+    run("redact_pii", lambda: tx.redact_pii(pages.select("text"))
+        .agg(F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone")).collect())
+    # end-to-end dedup: candidate pairs -> connected components (iterative
+    # min-label with per-generation localCheckpoint)
+    docs_sf = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    run("dedup_clusters", lambda: dd.duplicate_clusters(
+        dd.minhash_lsh_pairs(docs_sf, num_hashes=32, bands=8),
+        key_a="key_a", key_b="key_b").count(), reps=2)
+    run("pack_sequences", lambda: tx.pack_sequences(
+        pages.select(F.size(F.split("text", " ")).alias("n_tok")),
+        "n_tok", budget=2048)
+        .agg(F.count_distinct("pack_id")).collect())
+
     return timings
 
 

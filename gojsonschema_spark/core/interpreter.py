@@ -63,14 +63,32 @@ def _sub_validate(schema, node, instance, context) -> Result:
 # short-circuit another thread's identical traversal to 'valid'
 # (worker-side UDF execution is single-threaded per interpreter; the
 # exposure was concurrent driver-side validate_document calls).
-_REF_STATE = __import__("threading").local()
+class _ThreadLocalRefPath:
+    """threading.local holder that survives cloudpickle: UDF closures
+    ship this module by value (spark/__init__.py registration) and a bare
+    threading.local cannot be pickled — __reduce__ rebuilds a FRESH empty
+    holder on the worker, which is exactly the right semantics (the
+    active-path set is per-traversal state, never shipped state)."""
+
+    def __init__(self):
+        import threading
+        self._local = threading.local()
+
+    def get(self) -> set:
+        path = getattr(self._local, "path", None)
+        if path is None:
+            path = self._local.path = set()
+        return path
+
+    def __reduce__(self):
+        return (_ThreadLocalRefPath, ())
+
+
+_REF_STATE = _ThreadLocalRefPath()
 
 
 def _ref_path() -> set:
-    path = getattr(_REF_STATE, "path", None)
-    if path is None:
-        path = _REF_STATE.path = set()
-    return path
+    return _REF_STATE.get()
 
 
 def _validate_recursive(schema, cur: SubSchema, node, result: Result, ctx: tuple):

@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "fingerprint", "normalize_text", "repetition_metrics",
            "token_count_bpe", "temperature_fractions", "temperature_resample",
-           "pack_sequences", "redact_pii"]
+           "pack_sequences", "redact_pii", "gopher_quality_filter"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -176,6 +176,55 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         nz(_dup_char_mass(lines), total_line_chars).alias("dup_line_char_frac"),
         nz(top_gram_chars, total_gram_chars).alias("top_bigram_char_frac"),
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          min_words: int = 50, max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_word_ratio: float = 0.1,
+                          min_stop_hits: int = 2,
+                          max_dup_line_frac: float = 0.30,
+                          max_top_bigram_char_frac: float = 0.20,
+                          stopwords: tuple = _GOPHER_STOPWORDS) -> DataFrame:
+    """Composite Gopher-rule quality gate (Rae et al. 2021 §A1.1, the
+    public document-filter list): word count, mean word length, symbol-
+    to-word ratio (# and ellipses), required-stopword hits (>=2 of
+    the/be/to/of/and/that/have/with — override ``stopwords`` for
+    non-English corpora), and the repetition fractions. Adds one ``ok_*``
+    bit per rule plus the conjunction ``keep``.
+
+    Scale shape: pure map-side composition of :func:`quality_score` and
+    :func:`repetition_metrics` plus native expressions — zero shuffle, no
+    Python, one row in = one row out, so it pipelines with the scan. All
+    rule inputs are integer-ratio doubles, so an external SQL oracle
+    reproduces the bits bit-for-bit (IEEE division of the same ints)."""
+    from functools import reduce
+
+    out = repetition_metrics(quality_score(df, text_col), text_col)
+    text = F.col(text_col)
+    toks_lower = F.array_remove(F.split(F.lower(text), r"\s+"), "")
+    stop_hits = F.size(F.array_intersect(
+        toks_lower, F.array(*[F.lit(w) for w in stopwords])))
+    symbols = F.regexp_count(text, F.lit(r"#|\.\.\."))
+    n_tok = F.col("n_tokens")
+    rules = {
+        "ok_word_count": (n_tok >= min_words) & (n_tok <= max_words),
+        "ok_mean_word_len": ((F.col("mean_tok_len") >= min_mean_word_len)
+                             & (F.col("mean_tok_len") <= max_mean_word_len)),
+        "ok_symbol_ratio": (symbols / F.greatest(n_tok, F.lit(1))
+                            <= max_symbol_word_ratio),
+        "ok_stopwords": stop_hits >= min_stop_hits,
+        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "ok_top_bigram": (F.col("top_bigram_char_frac")
+                          <= max_top_bigram_char_frac),
+    }
+    out = out.select("*", *[c.alias(name) for name, c in rules.items()])
+    keep = reduce(lambda a, b: a & b, [F.col(name) for name in rules])
+    return out.withColumn("keep", keep)
 
 
 # GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed

@@ -848,3 +848,36 @@ def test_full_modern_pipeline(spark):
     # every multi-doc pack respects the budget
     assert sums.filter((F.col("m") > 1) & (F.col("s") > 2048)).count() == 0
     pages.unpersist()
+
+
+def test_gopher_quality_filter(spark):
+    """Composite Gopher gate: each rule trips on its designed offender,
+    healthy prose passes, and the plan is pure map-side (no Exchange, no
+    Python) — the filter must pipeline with the scan at corpus scale."""
+    from gojsonschema_spark.ops.text import gopher_quality_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "that other dog ran off to be with seven more foxes having "
+            "found plenty of room with them all around here today")
+    rows = [
+        ("good", good),
+        ("short", "too few words to pass"),
+        ("symbols", " ".join(["### word ..."] * 20)),
+        ("nostop", " ".join(f"tok{i}" for i in range(40))),
+        ("dupl", "\n".join(["same line here"] * 30) + "\nthe of and be"),
+        ("bigram", " ".join(["alpha beta"] * 30) + " the of and be"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r.id: r for r in
+           gopher_quality_filter(df, min_words=20).collect()}
+    assert out["good"].keep
+    assert not out["short"].ok_word_count and not out["short"].keep
+    assert not out["symbols"].ok_symbol_ratio
+    assert not out["nostop"].ok_stopwords
+    assert not out["dupl"].ok_dup_lines
+    assert not out["bigram"].ok_top_bigram
+
+    plan = (gopher_quality_filter(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
