@@ -24,8 +24,8 @@ from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
 from .engine import SparkValidator
 
 __all__ = ["validate_stream", "windowed_invalid_rate", "sessionize_stream",
-           "sessionize_batch", "sessionize_skew_guarded", "dedup_stream",
-           "windowed_drift_kl"]
+           "sessionize_stream_event_time", "sessionize_batch",
+           "sessionize_skew_guarded", "dedup_stream", "windowed_drift_kl"]
 
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
@@ -114,6 +114,89 @@ def sessionize_stream(df: DataFrame, key_col: str = "user_id",
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout)
+
+
+def sessionize_stream_event_time(df: DataFrame, key_col: str = "user_id",
+                                 ts_col: str = "ts", gap_sec: float = 1800.0,
+                                 watermark: str = "1 hour") -> DataFrame:
+    """EVENT-time twin of :func:`sessionize_stream`: sessions close when
+    the event-time WATERMARK passes ``session_end + gap_sec`` —
+    deterministic and replay-stable, unlike the processing-time variant
+    whose emissions depend on wall-clock batch timing. Late or
+    out-of-order events within the watermark horizon land in — and can
+    MERGE — still-open sessions (an event bridging two open intervals
+    collapses them into one, exactly what :func:`sessionize_batch` would
+    have produced); events older than the watermark are dropped by Spark
+    before reaching the operator (the standard late-data contract).
+
+    State per key is the OPEN interval list (start, last, n): intervals
+    are emitted and evicted as the watermark passes them, so state is
+    bounded by watermark_horizon / gap_sec intervals regardless of how
+    hot the key is — the same bot-key guarantee as the processing-time
+    variant, with exact late-data semantics on top."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType
+
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("starts", ArrayType(DoubleType())),
+        StructField("lasts", ArrayType(DoubleType())),
+        StructField("ns", ArrayType(LongType())),
+    ])
+    gap = float(gap_sec)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        intervals = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            intervals = list(zip(starts, lasts, ns))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for t in (pdf[ts_col].astype("int64") / 1e9):
+                    intervals.append((float(t), float(t), 1))
+        # interval-union with gap tolerance == sessionization of the
+        # multiset of all (in-state + newly arrived) event times
+        intervals.sort()
+        merged = []
+        for s, l, n in intervals:
+            if merged and s - merged[-1][1] <= gap:
+                merged[-1][1] = max(merged[-1][1], l)
+                merged[-1][2] += n
+            else:
+                merged.append([s, l, n])
+        closed = [iv for iv in merged if iv[1] + gap <= wm]
+        open_ = [iv for iv in merged if iv[1] + gap > wm]
+        if open_:
+            state.update(([iv[0] for iv in open_],
+                          [iv[1] for iv in open_],
+                          [iv[2] for iv in open_]))
+            # fire when the watermark passes the earliest open expiry
+            # (must be strictly beyond the current watermark)
+            expiry_ms = int((open_[0][1] + gap) * 1000)
+            state.setTimeoutTimestamp(max(expiry_ms, int(wm * 1000) + 1))
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(l, unit="s") for _, l, _ in closed],
+                "n_events": [n for _, _, n in closed],
+            })
+
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.EventTimeTimeout))
 
 
 def sessionize_batch(df: DataFrame, key_col: str = "user_id",

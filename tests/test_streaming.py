@@ -335,3 +335,69 @@ def test_sessionize_skew_guarded_equivalence(spark):
     import pytest
     with pytest.raises(ValueError):
         sessionize_skew_guarded(df, gap_sec=900.0, bucket_span_sec=900.0)
+
+
+def test_sessionize_stream_event_time_late_merge(spark, tmp_path):
+    """Event-time sessionization: a LATE event (within the watermark)
+    bridges two open intervals into ONE session, which is emitted exactly
+    when the watermark passes session_end + gap — and the emitted session
+    equals what sessionize_batch produces on the same events."""
+    from gojsonschema_spark.spark.streaming import (
+        sessionize_batch, sessionize_stream_event_time)
+
+    src = tmp_path / "events_et"
+    src.mkdir()
+
+    def write_batch(name, events):
+        with open(src / name, "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+
+    # batch 1: two intervals 2400s apart (separate sessions at gap=1800)
+    write_batch("b1.json", [
+        {"user_id": 1, "ts": "2024-06-01T10:00:00"},
+        {"user_id": 1, "ts": "2024-06-01T10:40:00"},
+    ])
+
+    schema = StructType([StructField("user_id", StringType()),
+                         StructField("ts", StringType())])
+    stream = (spark.readStream.schema(schema).json(str(src))
+              .select(F.col("user_id").cast("long").alias("user_id"),
+                      F.col("ts").cast("timestamp").alias("ts")))
+    out = sessionize_stream_event_time(stream, "user_id", "ts",
+                                       gap_sec=1800, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("sessions_et")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE bridging event (10:20 > watermark 09:40) MERGES
+        # the two intervals; 16:00 advances the watermark to 15:00, past
+        # the merged session's expiry (10:40 + 30min)
+        write_batch("b2.json", [
+            {"user_id": 1, "ts": "2024-06-01T10:20:00"},
+            {"user_id": 1, "ts": "2024-06-01T16:00:00"},
+        ])
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("select * from sessions_et").collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.user_id, r.n_events) == (1, 3)
+        assert (r.session_start.hour, r.session_start.minute) == (10, 0)
+        assert (r.session_end.hour, r.session_end.minute) == (10, 40)
+
+        # the emitted session is exactly the batch twin's verdict
+        bdf = spark.createDataFrame(
+            [(1, "2024-06-01T10:00:00"), (1, "2024-06-01T10:40:00"),
+             (1, "2024-06-01T10:20:00"), (1, "2024-06-01T16:00:00")],
+            ["user_id", "ts"]
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        batch = {(b.user_id, b.session_start, b.session_end, b.n_events)
+                 for b in sessionize_batch(bdf, "user_id", "ts", 1800).collect()}
+        assert (r.user_id, r.session_start, r.session_end, r.n_events) in batch
+    finally:
+        q.stop()
