@@ -193,6 +193,15 @@ def bench_queries(spark) -> dict[str, float]:
         pages.select(F.size(F.split("text", " ")).alias("n_tok")),
         "n_tok", budget=2048)
         .agg(F.count_distinct("pack_id")).collect())
+    run("gopher_filter", lambda: tx.gopher_quality_filter(
+        pages.select("text"), min_words=10)
+        .agg(F.sum(F.col("keep").cast("long"))).collect())
+    # batch sessionization over the SF events table (window path)
+    from gojsonschema_spark.spark.streaming import sessionize_batch
+    events_sf = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    run("sessionize_batch", lambda: sessionize_batch(
+        events_sf, "user_id", "ts", 1800.0)
+        .agg(F.count(F.lit(1)), F.sum("n_events")).collect())
 
     return timings
 

@@ -20,7 +20,8 @@ __all__ = ["with_salt", "salted_counts", "salted_collect_sample"]
 
 
 def with_salt(df: DataFrame, key: str, n_salts: int = 32,
-              salt_col: str = "__salt") -> DataFrame:
+              salt_col: str = "__salt",
+              stable_cols: list[str] | None = None) -> DataFrame:
     """Deterministic per-row salt in [0, n_salts): spreads one hot key
     over n_salts reducers — including the degenerate case where the hot
     key's rows are FULLY IDENTICAL (boilerplate/empty-text pages), which a
@@ -39,9 +40,22 @@ def with_salt(df: DataFrame, key: str, n_salts: int = 32,
     the stage-2 combine is still exact). monotonically_increasing_id is
     also a non-deterministic expression to Catalyst, which blocks
     predicate/projection pushdown THROUGH the salted projection — salt
-    late, after filters, or derive the position from stable inputs
-    (input_file_name + per-file offset) where exact resumability of the
-    partials matters."""
+    late, after filters, or pass ``stable_cols`` where exact
+    resumability of the partials matters.
+
+    ``stable_cols``: derive the salt purely from the named columns (an
+    id column, or any high-entropy combination) — fully deterministic
+    and layout-independent, so reruns reproduce identical per-lane
+    partials under ANY scan layout, and the expression stays
+    deterministic for Catalyst (pushdown unaffected). The caller must
+    pick columns that actually vary within a hot key; fully identical
+    rows then share a lane (the positional default exists precisely for
+    that degenerate case)."""
+    if stable_cols:
+        return df.withColumn(
+            salt_col,
+            F.pmod(F.xxhash64(*[F.col(c) for c in stable_cols]),
+                   F.lit(n_salts)).cast("int"))
     return df.withColumn(
         salt_col,
         F.pmod(F.xxhash64(F.monotonically_increasing_id(),

@@ -316,6 +316,18 @@ def test_skew_salting(spark):
                                         n_salts=8).collect()}
     assert samp == samp2
 
+    # stable_cols salts: layout-INDEPENDENT (identical per-row lanes
+    # under any repartitioning) and still spread across lanes; the
+    # expression stays deterministic for Catalyst
+    s1 = {(r["id"], r["key"]): r["__salt"] for r in
+          skew.with_salt(df, "key", n_salts=8,
+                         stable_cols=["id"]).collect()}
+    s2 = {(r["id"], r["key"]): r["__salt"] for r in
+          skew.with_salt(df.repartition(17), "key", n_salts=8,
+                         stable_cols=["id"]).collect()}
+    assert s1 == s2
+    assert len({v for (i, k), v in s1.items() if k == "hot"}) == 8
+
 
 def test_embedding_near_dups_exact_and_lsh(spark):
     """Embedding-cosine near-dup: exact self-join finds exactly the

@@ -401,3 +401,36 @@ def test_sessionize_stream_event_time_late_merge(spark, tmp_path):
         assert (r.user_id, r.session_start, r.session_end, r.n_events) in batch
     finally:
         q.stop()
+
+
+def test_sessionize_skew_guarded_randomized(spark):
+    """Seeded randomized equivalence: 6 random corpora (mixed hot/cold
+    keys, gap-straddling timestamps, ties) — the guarded path must equal
+    the plain window byte-for-byte on every one."""
+    import datetime as dt
+    import random
+
+    from gojsonschema_spark.spark.streaming import (sessionize_batch,
+                                                    sessionize_skew_guarded)
+
+    rng = random.Random(20260817)
+    base = dt.datetime(2026, 2, 1)
+    for trial in range(6):
+        rows = []
+        eid = 0
+        for k in range(rng.randint(1, 5)):
+            t = rng.uniform(0, 3600)
+            for _ in range(rng.randint(1, 120)):
+                # gaps cluster around the 900s threshold and bucket edges
+                t += rng.choice([1.0, 100.0, 899.0, 900.0, 901.0,
+                                 1800.0, 3600.0, rng.uniform(0, 2000)])
+                rows.append((k, base + dt.timedelta(seconds=t), eid))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long")
+        plain = sorted(tuple(r) for r in sessionize_batch(
+            df, gap_sec=900.0, tiebreak_col="event_id").collect())
+        got = sorted(tuple(r) for r in sessionize_skew_guarded(
+            df, gap_sec=900.0, hot_threshold=rng.choice([0, 40, 10**6]),
+            bucket_span_sec=3600.0, tiebreak_col="event_id").collect())
+        assert got == plain, f"trial {trial} diverged"
