@@ -714,6 +714,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                key_col="doc_id", bench_text_col="text")
 
 
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k heavy hitters (ops/dataset_checks.py::frequent_items) over
+    the events type column; deterministic tiebreak makes the exact top-k
+    oracle-able."""
+    return dc.frequent_items(_t(spark, sf_dir, "events"), "event_type", k=5)
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-rule quality gate (ops/text.py::
     gopher_quality_filter) over the word-per-line rendering (documents
@@ -876,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "multischema_violations": q_multischema_violations,
         "gopher_filter": q_gopher_filter,
+        "frequent_items": q_frequent_items,
     }
 
 
@@ -1283,6 +1291,11 @@ def oracle_sql() -> dict[str, str]:
         # equality; the Jaccard-1.0 verifier removes near-dup candidates)
         "minhash_lsh_pairs": _EXACT_PAIR_ORACLE,
         "simhash": _EXACT_PAIR_ORACLE,
+        "frequent_items": """
+            SELECT event_type AS value, count(*) AS n
+            FROM events GROUP BY event_type
+            ORDER BY n DESC, value ASC LIMIT 5
+        """,
         "gopher_filter": r"""
             WITH t AS (
               SELECT doc_id, text,

@@ -26,6 +26,7 @@ __all__ = [
     "referential_orphans",
     "categorical_drift_kl",
     "histogram_drift_kl",
+    "frequent_items",
 ]
 
 
@@ -53,6 +54,24 @@ def numeric_percentiles(df: DataFrame, col: str, probs=(0.25, 0.5, 0.75),
     cols = [F.round(pcts.getItem(i), round_to).alias(f"p{int(p * 100)}")
             for i, p in enumerate(probs)]
     return df.agg(*cols)
+
+
+def frequent_items(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-k heavy hitters of a column (the dataset check behind domain-
+    mix audits and hot-key discovery for the skew guards).
+
+    Scale shape: counting a value is algebraic, so the hash aggregate is
+    map-side PARTIAL first — the shuffle carries (value, partial_count)
+    pairs bounded by distinct-values-per-partition, never rows, and a
+    hot value costs one tiny combine, not a skewed reducer. The top-k
+    itself compiles to TakeOrderedAndProject (per-partition heaps +
+    driver merge of k rows), NOT a global sort. Deterministic tiebreak
+    (count desc, value asc) keeps results replayable/oracle-able."""
+    c = F.col(col)
+    return (df.groupBy(c.alias("value"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.col("n").desc(), F.col("value").asc())
+              .limit(k))
 
 
 def duplicate_keys(df: DataFrame, key: str, min_count: int = 2) -> DataFrame:

@@ -25,9 +25,13 @@ from gojsonschema_spark.spark.engine import SparkValidator
 
 pytestmark = pytest.mark.spark
 
-N_SCHEMAS = 120
-DOCS_PER_SCHEMA = 8
-SEED = 20260816
+# env-overridable for large out-of-CI hunts (fresh seeds, bigger corpora):
+#   GJS_FUZZ_SCHEMAS=500 GJS_FUZZ_SEED=20260818 pytest -k fuzz_column_plan
+import os
+
+N_SCHEMAS = int(os.environ.get("GJS_FUZZ_SCHEMAS", "120"))
+DOCS_PER_SCHEMA = int(os.environ.get("GJS_FUZZ_DOCS", "8"))
+SEED = int(os.environ.get("GJS_FUZZ_SEED", "20260816"))
 
 
 def _gen_value(rng: random.Random, depth: int):
@@ -224,8 +228,8 @@ def test_fuzz_column_plan_vs_interpreter(spark):
 # detector MUST have flagged that row as deep (the engine then
 # re-verdicts it in Python, so a flagged row is exact by construction).
 
-REF_SEED = 20260817
-N_REF_SCHEMAS = 60
+REF_SEED = int(os.environ.get("GJS_FUZZ_REF_SEED", "20260817"))
+N_REF_SCHEMAS = int(os.environ.get("GJS_FUZZ_REF_SCHEMAS", "60"))
 DOCS_PER_REF_SCHEMA = 10
 
 

@@ -893,3 +893,17 @@ def test_gopher_quality_filter(spark):
             .executedPlan().toString())
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_frequent_items(spark):
+    """Exact top-k heavy hitters with deterministic tiebreak; the plan is
+    partial-agg + TakeOrderedAndProject (no global Sort of the counts)."""
+    rows = ([("a",)] * 50 + [("b",)] * 30 + [("c",)] * 30 + [("d",)] * 5
+            + [(f"t{i}",) for i in range(20)])
+    df = spark.createDataFrame(rows, ["v"])
+    top = dc.frequent_items(df, "v", k=3)
+    got = [(r.value, r.n) for r in top.collect()]
+    assert got == [("a", 50), ("b", 30), ("c", 30)]  # tie b<c by value
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
