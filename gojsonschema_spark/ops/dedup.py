@@ -332,17 +332,27 @@ def duplicate_clusters(pairs: DataFrame, key_a: str = "a", key_b: str = "b",
     iterations (duplicate clusters are near-cliques from banded LSH, so
     typically 2-3). Scale shape per iteration: one shuffle join keyed on
     the node id + one min-aggregate — no driver-side graph; the only
-    collected value is the converged-yet count. Each generation is
+    collected value is one convergence scalar. Each generation is
     materialized via ``localCheckpoint`` (lineage TRUNCATED, not just
-    cached): without it, iteration k's convergence count re-executes all
+    cached): without it, iteration k's convergence check re-executes all
     k prior joins and iteration k+1 re-executes them again — O(k^2)
     stage executions and an exponentially deepening plan. With the
     checkpoint, the returned plan references a constant-depth scan
     regardless of iteration count (gated in
-    tests/test_duplicate_clusters_and_canonical). Raises RuntimeError if
-    ``max_iter`` is exhausted before convergence — silently returning
-    half-propagated labels would make dedup_keep_canonical keep extra
-    duplicates."""
+    tests/test_duplicate_clusters_and_canonical). Convergence costs NO
+    extra job: labels are monotonically non-increasing (min of own +
+    neighbors), so sum(cluster) is stationary iff nothing changed — the
+    one aggregate both materializes the lazy checkpoint and yields the
+    scalar (summed as DECIMAL(38,0): 10^12 keys x 64-bit labels
+    overflows int64). Non-numeric keys (string urls) keep the join-based
+    changed count — casting them to decimal would NULL the sum and fake
+    instant convergence. Raises RuntimeError if ``max_iter`` is exhausted
+    before convergence — silently returning half-propagated labels would
+    make dedup_keep_canonical keep extra duplicates."""
+    from pyspark.sql.types import NumericType
+
+    numeric_keys = isinstance(pairs.schema[key_a].dataType, NumericType)
+    dec_sum = F.sum(F.col("cluster").cast("decimal(38,0)"))
     edges = (pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
              .union(pairs.select(F.col(key_b).alias("src"),
                                  F.col(key_a).alias("dst"))))
@@ -351,7 +361,9 @@ def duplicate_clusters(pairs: DataFrame, key_a: str = "a", key_b: str = "b",
     labels = (edges.select(F.col("src").alias("key"))
               .distinct()
               .withColumn("cluster", F.col("key"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=not numeric_keys))
+    if numeric_keys:
+        prev_sum = labels.agg(dec_sum).collect()[0][0]  # materializes too
     for _ in range(max_iter):
         # neighbor labels + own label, keep the minimum
         neighbor = (edges.join(labels, edges.dst == labels.key)
@@ -359,13 +371,18 @@ def duplicate_clusters(pairs: DataFrame, key_a: str = "a", key_b: str = "b",
                             F.col("cluster")))
         new_labels = (labels.select("key", "cluster").union(neighbor)
                       .groupBy("key").agg(F.min("cluster").alias("cluster"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "key")
-                   .filter(F.col("n.cluster") != F.col("o.cluster"))
-                   .limit(1).count())
+                      .localCheckpoint(eager=not numeric_keys))
+        if numeric_keys:
+            cur_sum = new_labels.agg(dec_sum).collect()[0][0]
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (new_labels.alias("n")
+                         .join(labels.alias("o"), "key")
+                         .filter(F.col("n.cluster") != F.col("o.cluster"))
+                         .limit(1).count()) == 0
         labels = new_labels
-        if changed == 0:
+        if converged:
             return labels
     raise RuntimeError(
         f"duplicate_clusters did not converge within max_iter={max_iter} "

@@ -907,3 +907,15 @@ def test_frequent_items(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_duplicate_clusters_string_keys(spark):
+    """Non-numeric keys must converge via the join-based check (the
+    decimal-sum criterion would NULL out and fake instant convergence)."""
+    from gojsonschema_spark.ops.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("u/b", "u/a"), ("u/b", "u/c"), ("u/x", "u/y")], ["a", "b"])
+    labels = {r.key: r.cluster for r in duplicate_clusters(pairs).collect()}
+    assert labels == {"u/a": "u/a", "u/b": "u/a", "u/c": "u/a",
+                      "u/x": "u/x", "u/y": "u/x"}
