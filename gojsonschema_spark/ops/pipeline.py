@@ -1,0 +1,141 @@
+"""One-call preprocessing pipeline: the composition a production corpus
+run actually executes, wired from the individual operators.
+
+``preprocess_corpus`` chains (each stage optional via config):
+
+    schema validation -> per-host boilerplate strip -> PII redaction ->
+    dedup (exact or MinHash-LSH + Jaccard verify + cluster resolution) ->
+    composite Gopher quality gate -> temperature-T mixing ->
+    token-budget sequence packing
+
+Everything stays lazy — one DataFrame in, one DataFrame out; the caller
+triggers execution with its own action (usually a checkpointed write via
+plans/checkpointed.py). Scale shape is inherited from the member ops:
+map-side-only stages pipeline with the scan, shuffles carry digests, the
+dedup small sides broadcast, iterative clustering localCheckpoints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["PipelineConfig", "preprocess_corpus"]
+
+
+@dataclass
+class PipelineConfig:
+    text_col: str = "text"
+    key_col: str = "doc_id"
+    host_col: str | None = "host"
+
+    # stage 0: schema validation over a JSON payload column (None = skip)
+    validate_schema: dict | None = None
+    doc_col: str = "doc"
+    keep_invalid: bool = False          # False = drop invalid rows
+
+    # stage 1: per-host boilerplate strip (needs host_col)
+    boilerplate: bool = True
+    boilerplate_min_docs: int = 8
+    boilerplate_frac: float = 0.5
+
+    # stage 2: PII redaction
+    redact: bool = True
+
+    # stage 3: dedup
+    dedup: str = "exact"                # "exact" | "minhash" | "none"
+    minhash_num_hashes: int = 64
+    minhash_bands: int = 16
+    jaccard_threshold: float = 0.9
+
+    # stage 4: composite Gopher quality gate
+    quality: bool = True
+    gopher_kwargs: dict = field(default_factory=dict)
+
+    # stage 5: temperature mixing over a group column (None = skip)
+    mix_col: str | None = None
+    temperature: float = 1.0
+    seed: int = 7
+
+    # stage 6: sequence packing (None = skip)
+    pack_budget: int | None = 2048
+
+
+def preprocess_corpus(df: DataFrame,
+                      config: PipelineConfig | None = None) -> DataFrame:
+    """Run the configured preprocessing chain; returns the surviving rows
+    with the cleaned text in ``text_final`` (plus ``n_tok``/``pack_id``
+    when packing is enabled). See module docstring for the stage list.
+
+    ``key_col`` must be UNIQUE per row (e.g. xxhash64(url, warc_ts)):
+    dedup keeps one survivor per duplicate CLUSTER keyed by it — rows
+    sharing a key are indistinguishable to the canonical-survivor step
+    and will all be kept or all dropped together."""
+    from ..spark.engine import SparkValidator
+    from .dedup import (dedup_keep_canonical, boilerplate_lines,
+                        exact_duplicates, minhash_lsh_pairs,
+                        ngram_jaccard_pairs, strip_boilerplate)
+    from .text import (gopher_quality_filter, pack_sequences, redact_pii,
+                       temperature_resample, token_count_bpe)
+
+    cfg = config or PipelineConfig()
+    text = cfg.text_col
+
+    if cfg.validate_schema is not None:
+        v = SparkValidator(cfg.validate_schema)
+        df = v.validate_json(df, cfg.doc_col, violations_col=None)
+        if not cfg.keep_invalid:
+            df = df.filter(F.col("valid")).drop("valid")
+
+    if cfg.boilerplate:
+        if not cfg.host_col:
+            raise ValueError("boilerplate stage requires host_col")
+        bp = boilerplate_lines(df, host_col=cfg.host_col, text_col=text,
+                               min_docs=cfg.boilerplate_min_docs,
+                               frac=cfg.boilerplate_frac)
+        df = strip_boilerplate(df, bp, host_col=cfg.host_col,
+                               text_col=text, out_col="__text_stripped")
+        text = "__text_stripped"
+
+    if cfg.redact:
+        df = redact_pii(df, text_col=text, out_col="__text_redacted")
+        text = "__text_redacted"
+
+    if cfg.dedup == "exact":
+        groups = exact_duplicates(df, text_col=text, key_col=cfg.key_col,
+                                  max_members=64)
+        pairs = (groups.select(F.explode("members").alias("b"),
+                               F.col("members")[0].alias("a"))
+                 .filter(F.col("b") != F.col("a")))
+        df = dedup_keep_canonical(df, pairs, key_col=cfg.key_col)
+    elif cfg.dedup == "minhash":
+        cand = minhash_lsh_pairs(df, text_col=text, key_col=cfg.key_col,
+                                 num_hashes=cfg.minhash_num_hashes,
+                                 bands=cfg.minhash_bands)
+        pairs = ngram_jaccard_pairs(df, cand, text_col=text,
+                                    key_col=cfg.key_col,
+                                    threshold=cfg.jaccard_threshold)
+        df = dedup_keep_canonical(df, pairs, key_col=cfg.key_col,
+                                  key_a="key_a", key_b="key_b")
+    elif cfg.dedup != "none":
+        raise ValueError(f"unknown dedup mode {cfg.dedup!r}")
+
+    if cfg.quality:
+        df = (gopher_quality_filter(df, text_col=text, **cfg.gopher_kwargs)
+              .filter(F.col("keep"))
+              .drop("keep", "ok_word_count", "ok_mean_word_len",
+                    "ok_symbol_ratio", "ok_stopwords", "ok_dup_lines",
+                    "ok_top_bigram"))
+
+    if cfg.mix_col:
+        df = temperature_resample(df, cfg.mix_col, cfg.temperature,
+                                  seed=cfg.seed)
+
+    df = df.withColumnRenamed(text, "text_final") if text != cfg.text_col \
+        else df.withColumn("text_final", F.col(text))
+
+    if cfg.pack_budget:
+        df = df.withColumn("n_tok", token_count_bpe(df, "text_final"))
+        df = pack_sequences(df, "n_tok", budget=cfg.pack_budget)
+    return df

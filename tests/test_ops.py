@@ -919,3 +919,44 @@ def test_duplicate_clusters_string_keys(spark):
     labels = {r.key: r.cluster for r in duplicate_clusters(pairs).collect()}
     assert labels == {"u/a": "u/a", "u/b": "u/a", "u/c": "u/a",
                       "u/x": "u/x", "u/y": "u/x"}
+
+
+def test_preprocess_corpus_facade(spark):
+    """ops/pipeline.py one-call composition: same invariants as the
+    hand-wired chain — counts monotone through destructive stages, packs
+    respect the budget, quality survivors all pass the gate."""
+    from gojsonschema_spark.ops.pipeline import (PipelineConfig,
+                                                 preprocess_corpus)
+    from gojsonschema_spark.ops.webpages import url_host
+
+    pages = (generate_webpages(spark, 1200, partitions=8)
+             .withColumn("host", url_host(F.col("url")))
+             .withColumn("doc_id", F.xxhash64("url", "warc_ts")))
+    n0 = pages.count()
+
+    cfg = PipelineConfig(
+        boilerplate_min_docs=8, boilerplate_frac=0.8,
+        dedup="exact", quality=True,
+        gopher_kwargs={"min_words": 5, "min_stop_hits": 0,
+                       "max_dup_line_frac": 1.0,
+                       "max_top_bigram_char_frac": 1.0},
+        mix_col="lang", temperature=3.0, pack_budget=2048)
+    out = preprocess_corpus(pages, cfg)
+    rows = out.count()
+    assert 0 < rows <= n0
+    assert {"text_final", "n_tok", "pack_id"} <= set(out.columns)
+    sums = (out.groupBy("pack_id")
+            .agg(F.sum("n_tok").alias("s"), F.count(F.lit(1)).alias("m")))
+    assert sums.filter((F.col("m") > 1) & (F.col("s") > 2048)).count() == 0
+
+    # minhash route + no mixing/packing: dedup strictly removes the
+    # generator's planted full-url duplicates
+    cfg2 = PipelineConfig(boilerplate=False, redact=False, dedup="minhash",
+                          jaccard_threshold=1.0, quality=False,
+                          pack_budget=None)
+    out2 = preprocess_corpus(pages, cfg2)
+    assert out2.count() < n0
+    # survivors are exactly one per identical-text group
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text_final"), r"\s+", " ")))
+    assert (out2.select(fp.alias("fp")).groupBy("fp").count()
+            .filter(F.col("count") > 1).count() == 0)
