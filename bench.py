@@ -196,6 +196,22 @@ def bench_queries(spark) -> dict[str, float]:
     run("gopher_filter", lambda: tx.gopher_quality_filter(
         pages.select("text"), min_words=10)
         .agg(F.sum(F.col("keep").cast("long"))).collect())
+    # end-to-end facade: boilerplate -> PII -> exact dedup -> gopher gate
+    # -> packing over the full page corpus (the headline pipeline number)
+    from gojsonschema_spark.ops.pipeline import (PipelineConfig,
+                                                 preprocess_corpus)
+    from gojsonschema_spark.ops.webpages import url_host
+    staged = (pages.withColumn("host", url_host(F.col("url")))
+              .withColumn("doc_id", F.xxhash64("url", "warc_ts")))
+    pipe_cfg = PipelineConfig(
+        boilerplate_min_docs=8, boilerplate_frac=0.8, dedup="exact",
+        gopher_kwargs={"min_words": 5, "min_stop_hits": 0,
+                       "max_dup_line_frac": 1.0,
+                       "max_top_bigram_char_frac": 1.0},
+        pack_budget=2048)
+    run("pipeline_e2e", lambda: preprocess_corpus(staged, pipe_cfg)
+        .agg(F.count(F.lit(1)), F.count_distinct("pack_id")).collect(),
+        reps=2)
     # batch sessionization over the SF events table (window path)
     from gojsonschema_spark.spark.streaming import sessionize_batch
     events_sf = spark.read.parquet(f"{SF_DIR}/events.parquet")

@@ -241,7 +241,8 @@ def sessionize_skew_guarded(df: DataFrame, key_col: str = "user_id",
                             ts_col: str = "ts", gap_sec: float = 1800.0,
                             hot_threshold: int = 5_000_000,
                             bucket_span_sec: float = 86400.0,
-                            tiebreak_col: str | None = None) -> DataFrame:
+                            tiebreak_col: str | None = None,
+                            hot_keys: DataFrame | None = None) -> DataFrame:
     """:func:`sessionize_batch` with the bot-key mitigation its docstring
     prescribes, composed into one operator (same output schema/values).
 
@@ -265,15 +266,22 @@ def sessionize_skew_guarded(df: DataFrame, key_col: str = "user_id",
     mergeable pair — and the chain rule compares real timestamps anyway).
     The final per-key session renumbering is a row_number over SESSIONS
     (not events) — the residual per-key partition is #sessions, which is
-    what the split bounds."""
+    what the split bounds.
+
+    ``hot_keys``: optional single-column DataFrame of known hot keys
+    (e.g. yesterday's bot census) — skips the salted count pass
+    entirely, saving one full-corpus aggregation at 100 TB."""
     from pyspark.sql import Window as W
 
     if bucket_span_sec <= gap_sec:
         raise ValueError("bucket_span_sec must exceed gap_sec")
 
-    from ..ops.skew import salted_counts
-    hot = (salted_counts(df, key_col)
-           .filter(F.col("n") > hot_threshold).select(key_col))
+    if hot_keys is not None:
+        hot = hot_keys.select(F.col(hot_keys.columns[0]).alias(key_col))
+    else:
+        from ..ops.skew import salted_counts
+        hot = (salted_counts(df, key_col)
+               .filter(F.col("n") > hot_threshold).select(key_col))
     cold_sessions = sessionize_batch(
         df.join(F.broadcast(hot), key_col, "left_anti"),
         key_col, ts_col, gap_sec, tiebreak_col)

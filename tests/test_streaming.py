@@ -336,6 +336,13 @@ def test_sessionize_skew_guarded_equivalence(spark):
     with pytest.raises(ValueError):
         sessionize_skew_guarded(df, gap_sec=900.0, bucket_span_sec=900.0)
 
+    # precomputed hot-key list skips the census and gives the same result
+    hot = spark.createDataFrame([(999,)], ["k"])
+    got_pre = canon(sessionize_skew_guarded(
+        df, gap_sec=900.0, bucket_span_sec=3600.0,
+        tiebreak_col="event_id", hot_keys=hot))
+    assert got_pre == got
+
 
 def test_sessionize_stream_event_time_late_merge(spark, tmp_path):
     """Event-time sessionization: a LATE event (within the watermark)
