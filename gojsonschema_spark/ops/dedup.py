@@ -35,27 +35,33 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
     ``members`` carries at most ``max_members`` exemplar keys per group —
     a degenerate fingerprint (e.g. the empty-text group, ~1% of a web
-    corpus) must never build a 10^9-element array on one reducer. The cap
-    is enforced BEFORE aggregation via a row_number window, so per-group
-    reducer state stays bounded; the groupBy reuses the window's hash
-    partitioning on fp (no second shuffle). ``max_members=0`` skips the
-    member list entirely (fp + n_dups only)."""
-    from pyspark.sql.window import Window
-
+    corpus) must never build a 10^9-element array on one reducer. The
+    cap uses SALTED two-stage aggregation (r4; the earlier row_number
+    window still SORTED the whole degenerate group on one task): stage 1
+    keeps the ``max_members`` smallest keys per (fp, salt) lane — every
+    lane-resident member of the global answer survives its lane's slice,
+    so the stage-2 merge of <= n_salts * max_members elements is EXACTLY
+    the global smallest set; counts sum exactly. No task ever holds more
+    than a lane's slice. ``max_members=0`` skips the member list
+    entirely (fp + n_dups only)."""
     fp = F.md5(normalize_text(F.col(text_col))).alias("fp")
     base = df.select(fp, F.col(key_col))
     if not max_members:
         return (base.groupBy("fp")
                     .agg(F.count(F.lit(1)).alias("n_dups"))
                     .filter(F.col("n_dups") >= 2))
-    w = Window.partitionBy("fp").orderBy(key_col)
-    ranked = base.withColumn("__rn", F.row_number().over(w))
-    return (ranked.groupBy("fp")
-                  .agg(F.count(F.lit(1)).alias("n_dups"),
-                       F.sort_array(F.collect_list(
-                           F.when(F.col("__rn") <= max_members,
-                                  F.col(key_col)))).alias("members"))
-                  .filter(F.col("n_dups") >= 2))
+    n_salts = 32
+    salted = base.withColumn(
+        "__salt", F.pmod(F.xxhash64(key_col), F.lit(n_salts)).cast("int"))
+    lane = (salted.groupBy("fp", "__salt")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.slice(F.sort_array(F.collect_list(key_col)),
+                         1, max_members).alias("__m")))
+    return (lane.groupBy("fp")
+                .agg(F.sum("__n").alias("n_dups"),
+                     F.slice(F.sort_array(F.flatten(F.collect_list("__m"))),
+                             1, max_members).alias("members"))
+                .filter(F.col("n_dups") >= 2))
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -263,11 +269,13 @@ def duplicate_paragraphs(df: DataFrame, text_col: str = "text",
 
     Scale shape: explode multiplies cardinality ~20x but each row shrinks
     to (16-byte fp, key, idx); the shuffle keys on fp with the same
-    bounded-members discipline as :func:`exact_duplicates`. Paragraphs
-    shorter than ``min_chars`` (headers, "Home", timestamps) are dropped
-    — they are near-universal and would all be degenerate hot keys."""
-    from pyspark.sql.window import Window
-
+    salted bounded-members discipline as :func:`exact_duplicates` (r4:
+    the earlier row_number window sorted the whole degenerate group on
+    one task). The salt derives from the KEY alone, so a document's
+    paragraphs stay in one lane and per-lane distinct-doc counts SUM
+    exactly. Paragraphs shorter than ``min_chars`` (headers, "Home",
+    timestamps) are dropped — they are near-universal and would all be
+    degenerate hot keys."""
     paras = F.filter(
         F.transform(F.split(F.col(text_col), r"\n{2,}"),
                     lambda p: normalize_text(p)),
@@ -276,16 +284,21 @@ def duplicate_paragraphs(df: DataFrame, text_col: str = "text",
                           F.posexplode(paras).alias("para_idx", "para"))
                   .select(F.md5(F.col("para")).alias("fp"),
                           F.col(key_col), F.col("para_idx")))
-    w = Window.partitionBy("fp").orderBy(key_col, "para_idx")
-    ranked = exploded.withColumn("__rn", F.row_number().over(w))
+    n_salts = 32
     member = F.struct(F.col(key_col), F.col("para_idx"))
-    return (ranked.groupBy("fp")
-                  .agg(F.count(F.lit(1)).alias("n_dups"),
-                       F.count_distinct(F.col(key_col)).alias("n_docs"),
-                       F.sort_array(F.collect_list(
-                           F.when(F.col("__rn") <= max_members, member)))
-                        .alias("members"))
-                  .filter(F.col("n_docs") >= 2))
+    salted = exploded.withColumn(
+        "__salt", F.pmod(F.xxhash64(key_col), F.lit(n_salts)).cast("int"))
+    lane = (salted.groupBy("fp", "__salt")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.count_distinct(F.col(key_col)).alias("__d"),
+                 F.slice(F.sort_array(F.collect_list(member)),
+                         1, max_members).alias("__m")))
+    return (lane.groupBy("fp")
+                .agg(F.sum("__n").alias("n_dups"),
+                     F.sum("__d").alias("n_docs"),
+                     F.slice(F.sort_array(F.flatten(F.collect_list("__m"))),
+                             1, max_members).alias("members"))
+                .filter(F.col("n_docs") >= 2))
 
 
 def contamination_check(df: DataFrame, benchmark: DataFrame,
