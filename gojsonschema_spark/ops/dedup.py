@@ -112,7 +112,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """Candidate near-duplicate pairs via banded LSH over MinHash.
 
     rows = (key_a, key_b) with key_a < key_b, distinct across bands.
-    ``max_bucket`` drops degenerate buckets (skew guard)."""
+    ``max_bucket`` drops degenerate buckets (skew guard) BEFORE the
+    per-bucket member lists are collected (r4): the oversized-bucket set
+    is computed by a cheap partial-agg count and broadcast as an
+    anti-join dim, so no reducer ever materializes a degenerate
+    bucket's array — the previous collect-then-filter built it first."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, key_col, num_hashes, k)
     with_sig = sigs.select(
@@ -129,9 +133,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                                      lambda x: x.cast("string"))),
                 ).alias("bucket")))).alias("bb"),
     ).select("k", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    grouped = (banded.groupBy("band", "bucket")
+    oversized = (banded.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") > max_bucket)
+                 .select("band", "bucket"))
+    grouped = (banded.join(F.broadcast(oversized), ["band", "bucket"],
+                           "left_anti")
+                     .groupBy("band", "bucket")
                      .agg(F.sort_array(F.collect_list("k")).alias("ks"))
-                     .filter((F.size("ks") >= 2) & (F.size("ks") <= max_bucket)))
+                     .filter(F.size("ks") >= 2))
     pairs = grouped.select(F.explode(_pairs_of("ks")).alias("p")) \
                    .select(F.col("p.a").alias("key_a"), F.col("p.b").alias("key_b")) \
                    .distinct()

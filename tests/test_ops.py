@@ -960,3 +960,22 @@ def test_preprocess_corpus_facade(spark):
     fp = F.md5(F.trim(F.regexp_replace(F.lower("text_final"), r"\s+", " ")))
     assert (out2.select(fp.alias("fp")).groupBy("fp").count()
             .filter(F.col("count") > 1).count() == 0)
+
+
+def test_minhash_max_bucket_prefilter(spark):
+    """Degenerate buckets are dropped BEFORE member collection: 200
+    identical docs form one giant bucket per band — with max_bucket below
+    that, zero pairs come back (and no reducer built the 200-element
+    array); a distinct planted pair in a small bucket still surfaces."""
+    rows = [(i, "the same boilerplate text repeated everywhere")
+            for i in range(200)]
+    rows += [(1000, "a genuinely unique document body here"),
+             (1001, "a genuinely unique document body here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.key_a, r.key_b) for r in dd.minhash_lsh_pairs(
+        df, num_hashes=16, bands=4, max_bucket=50).collect()}
+    assert pairs == {(1000, 1001)}
+    # with the guard lifted the degenerate group floods back
+    many = dd.minhash_lsh_pairs(df, num_hashes=16, bands=4,
+                                max_bucket=10000).count()
+    assert many == (200 * 199) // 2 + 1
