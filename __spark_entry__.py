@@ -714,6 +714,26 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                key_col="doc_id", bench_text_col="text")
 
 
+def q_semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join breadth (TPC-H Q4 shape adapted to this subset's
+    columns): per order priority, how many orders have at least one
+    RETURNED lineitem (left_semi) vs none (left_anti). Spark plans both
+    probes against one distinct-orderkey dim; the oracle mirrors with
+    EXISTS / NOT EXISTS."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = (li.filter(F.col("l_returnflag") == "R")
+                .select(F.col("l_orderkey").alias("o_orderkey")).distinct())
+    semi = (orders.join(returned, "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_with_returns")))
+    anti = (orders.join(returned, "o_orderkey", "left_anti")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_without")))
+    return (semi.join(anti, "o_orderpriority", "full_outer")
+            .fillna(0, ["n_with_returns", "n_without"]))
+
+
 def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k heavy hitters (ops/dataset_checks.py::frequent_items) over
     the events type column; deterministic tiebreak makes the exact top-k
@@ -884,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multischema_violations": q_multischema_violations,
         "gopher_filter": q_gopher_filter,
         "frequent_items": q_frequent_items,
+        "semi_anti_orders": q_semi_anti_orders,
     }
 
 
@@ -1295,6 +1316,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS value, count(*) AS n
             FROM events GROUP BY event_type
             ORDER BY n DESC, value ASC LIMIT 5
+        """,
+        "semi_anti_orders": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE EXISTS (
+                       SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'))
+                       AS n_with_returns,
+                   count(*) FILTER (WHERE NOT EXISTS (
+                       SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'))
+                       AS n_without
+            FROM orders GROUP BY 1
         """,
         "gopher_filter": r"""
             WITH t AS (

@@ -20,21 +20,46 @@ __all__ = ["read_pages", "write_pages"]
 
 def read_pages(spark: SparkSession, source: str,
                bucket_col: str = "warc_bucket",
-               buckets: list | None = None) -> DataFrame:
-    """Load a web-pages table from a catalog table name or a parquet path.
+               buckets: list | None = None,
+               fmt: str | None = None,
+               schema=None) -> DataFrame:
+    """Load a web-pages table from a catalog table name or a file path.
 
     ``source`` forms:
       * ``"catalog.db.pages"`` / ``"db.pages"`` — spark.read.table
         (Iceberg/Delta/Hive, partition pruning via the catalog scan)
-      * anything with a '/' or URI scheme — parquet path
+      * anything with a '/' or URI scheme — a file path; format from
+        the extension (``.parquet`` / ``.json`` / ``.jsonl`` / ``.csv``)
+        or forced via ``fmt``.
+
+    JSONL/CSV sources REQUIRE an explicit ``schema`` (DDL string or
+    StructType): schema inference reads the whole corpus once before the
+    real scan — never acceptable at 100 TB — and silently widens types
+    run-to-run. CSV reads with header=true.
 
     ``buckets`` optionally restricts to a list of partition values — the
     filter is applied BEFORE any other transformation so it prunes
     partitions at the scan.
     """
-    looks_like_path = "/" in source or source.endswith(".parquet")
-    df = (spark.read.parquet(source) if looks_like_path
-          else spark.read.table(source))
+    looks_like_path = ("/" in source
+                       or source.endswith((".parquet", ".json", ".jsonl",
+                                           ".csv")))
+    if looks_like_path:
+        f = fmt or ("json" if source.endswith((".json", ".jsonl"))
+                    else "csv" if source.endswith(".csv")
+                    else "parquet")
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif f in ("json", "csv"):
+            raise ValueError(
+                f"{f} source {source!r} requires an explicit schema= "
+                f"(inference scans the whole corpus before the real read)")
+        df = (reader.json(source) if f == "json"
+              else reader.option("header", "true").csv(source) if f == "csv"
+              else reader.parquet(source))
+    else:
+        df = spark.read.table(source)
     if buckets:
         from pyspark.sql import functions as F
         df = df.filter(F.col(bucket_col).isin(list(buckets)))

@@ -979,3 +979,28 @@ def test_minhash_max_bucket_prefilter(spark):
     many = dd.minhash_lsh_pairs(df, num_hashes=16, bands=4,
                                 max_bucket=10000).count()
     assert many == (200 * 199) // 2 + 1
+
+
+def test_read_pages_formats(spark, tmp_path):
+    """read_pages loads JSONL and CSV sources with an explicit schema and
+    REFUSES schema inference (a full pre-scan at corpus scale)."""
+    from gojsonschema_spark.io.tables import read_pages
+
+    df = spark.createDataFrame(
+        [("https://a", "hello", 0), ("https://b", "world", 1)],
+        ["url", "text", "warc_bucket"])
+    jl = str(tmp_path / "pages.jsonl")
+    cv = str(tmp_path / "pages.csv")
+    df.coalesce(1).write.mode("overwrite").json(jl)
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(cv)
+
+    ddl = "url string, text string, warc_bucket int"
+    got_j = read_pages(spark, jl, fmt="json", schema=ddl)
+    assert {tuple(r) for r in got_j.select("url", "text").collect()} == \
+        {("https://a", "hello"), ("https://b", "world")}
+    got_c = read_pages(spark, cv, fmt="csv", schema=ddl,
+                       buckets=[1])
+    assert [r.url for r in got_c.collect()] == ["https://b"]
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_pages(spark, jl, fmt="json")
