@@ -133,7 +133,15 @@ def sessionize_stream_event_time(df: DataFrame, key_col: str = "user_id",
     are emitted and evicted as the watermark passes them, so state is
     bounded by watermark_horizon / gap_sec intervals regardless of how
     hot the key is — the same bot-key guarantee as the processing-time
-    variant, with exact late-data semantics on top."""
+    variant, with exact late-data semantics on top.
+
+    Boundary note: emission is final. An event arriving in a LATER batch
+    at exactly ``session_end + gap_sec`` of an already-emitted session
+    starts a fresh session, where the batch twin (which sees all events
+    at once) would merge the two — reachable only when the event lands
+    exactly on both the gap boundary and at/after the emitting
+    watermark; any earlier it was merged, any later it is a new session
+    on both paths."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import ArrayType
 
