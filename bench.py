@@ -153,8 +153,11 @@ def bench_queries(spark) -> dict[str, float]:
     kinds = docs.withColumn(
         "kind", F.element_at(F.array(F.lit("page"), F.lit("stub"), F.lit("feed")),
                              ((F.xxhash64("doc") % 3 + 3) % 3 + 1).cast("int")))
+    # best-of-5: the 3-plan CASE chain's generated code needs several
+    # invocations before HotSpot promotes it (reps 1-2 measured 2-3x
+    # steady state)
     run("multischema_dispatch", lambda: mv.validate_json(kinds, "doc", "kind")
-        .agg(F.sum(F.col("valid").cast("int"))).collect())
+        .agg(F.sum(F.col("valid").cast("int"))).collect(), reps=5)
 
     # Gopher repetition fractions: pure map-side pass (no shuffle/Python)
     run("repetition_metrics", lambda: tx.repetition_metrics(

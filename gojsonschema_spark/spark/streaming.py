@@ -23,7 +23,8 @@ from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
 
 from .engine import SparkValidator
 
-__all__ = ["validate_stream", "windowed_invalid_rate", "sessionize_stream",
+__all__ = ["validate_stream", "validate_stream_to_parquet",
+           "windowed_invalid_rate", "sessionize_stream",
            "sessionize_stream_event_time", "sessionize_batch",
            "sessionize_skew_guarded", "dedup_stream", "windowed_drift_kl"]
 
@@ -45,6 +46,31 @@ def validate_stream(stream_df: DataFrame, validator: SparkValidator,
                                        violations_col=None)
     v = F.try_parse_json(F.col(doc_col))
     return stream_df.withColumn(valid_col, validator.column_plan(v))
+
+
+def validate_stream_to_parquet(stream_df: DataFrame,
+                               validator: SparkValidator, doc_col: str,
+                               out_dir: str, checkpoint_dir: str,
+                               partition_col: str | None = None,
+                               trigger: dict | None = None):
+    """End-to-end streaming sink: validate -> append to (optionally
+    partitioned) parquet with EXACTLY-ONCE delivery — the streaming twin
+    of the batch checkpointed run (plans/checkpointed.py). The file
+    sink's transaction log under ``checkpointLocation`` records committed
+    batches, so a killed-and-restarted query resumes from the last
+    commit and never double-writes (restart-resume pinned in
+    tests/test_streaming.py). ``trigger={"availableNow": True}`` gives
+    the batch-like drain-and-stop mode for backfills."""
+    out = validate_stream(stream_df, validator, doc_col)
+    w = (out.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append"))
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    if trigger:
+        w = w.trigger(**trigger)
+    return w.start()
 
 
 def sessionize_stream(df: DataFrame, key_col: str = "user_id",

@@ -441,3 +441,45 @@ def test_sessionize_skew_guarded_randomized(spark):
             df, gap_sec=900.0, hot_threshold=rng.choice([0, 40, 10**6]),
             bucket_span_sec=3600.0, tiebreak_col="event_id").collect())
         assert got == plain, f"trial {trial} diverged"
+
+
+def test_validate_stream_to_parquet_exactly_once(spark, tmp_path):
+    """Checkpointed streaming sink: drain batch 1, STOP, add batch 2,
+    RESTART from the same checkpoint — the output holds each document
+    exactly once (the sink's transaction log resumes, never re-writes)."""
+    from gojsonschema_spark.spark.streaming import validate_stream_to_parquet
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, docs):
+        with open(src / name, "w") as f:
+            for d in docs:
+                f.write(json.dumps({"doc": d}) + "\n")
+
+    write_batch("b1.jsonl", ['{"url":"https://a"}', '{"url":1}'])
+    schema = StructType([StructField("doc", StringType())])
+    v = SparkValidator({"type": "object", "required": ["url"],
+                        "properties": {"url": {"type": "string"}}})
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = validate_stream_to_parquet(stream, v, "doc", out, ckpt,
+                                       trigger={"availableNow": True})
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    got1 = spark.read.parquet(out).collect()
+    assert len(got1) == 2
+
+    write_batch("b2.jsonl", ['{"url":"https://b"}'])
+    drain()  # restart from the same checkpoint
+    got2 = [(r.doc, r.valid) for r in spark.read.parquet(out).collect()]
+    assert len(got2) == 3 and len(set(got2)) == 3  # no duplicates
+    verdicts = dict(got2)
+    assert verdicts['{"url":"https://a"}'] is True
+    assert verdicts['{"url":1}'] is False
+    assert verdicts['{"url":"https://b"}'] is True
