@@ -1,0 +1,80 @@
+"""spark-submit entry point: full preprocessing pipeline over a corpus.
+
+Usage (same launch shape as tools/submit_job.py):
+    spark-submit --py-files gojsonschema_spark.zip tools/run_pipeline.py \
+        <input_parquet> <output_dir> [--dedup exact|minhash|none]
+        [--mix-col lang --temperature 3.0] [--pack-budget 2048]
+        [--generate N]
+
+Runs ops/pipeline.py::preprocess_corpus (boilerplate strip -> PII
+redaction -> dedup -> Gopher quality gate -> optional temperature mix ->
+sequence packing) and writes the survivors as parquet. Prints a one-line
+JSON summary (rows in/out, packs).
+"""
+import argparse
+import json
+import os
+import sys
+
+# direct `python tools/run_pipeline.py` runs get the repo root on the
+# path; spark-submit --py-files deployments resolve the zip instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("output")
+    ap.add_argument("--dedup", default="exact",
+                    choices=["exact", "minhash", "none"])
+    ap.add_argument("--mix-col", default=None)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--no-quality", action="store_true",
+                    help="skip the Gopher gate (published-English "
+                         "thresholds drop synthetic/non-English corpora "
+                         "wholesale — correctly)")
+    ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument("--min-stop-hits", type=int, default=2)
+    ap.add_argument("--generate", type=int, default=0,
+                    help="synthesize N web pages instead of reading input")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("gjs-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gojsonschema_spark.ops.pipeline import (PipelineConfig,
+                                                 preprocess_corpus)
+    from gojsonschema_spark.ops.webpages import generate_webpages, url_host
+
+    if args.generate:
+        pages = generate_webpages(spark, args.generate,
+                                  partitions=max(args.generate // 50000, 4))
+    else:
+        pages = spark.read.parquet(args.input)
+    staged = (pages.withColumn("host", url_host(F.col("url")))
+              .withColumn("doc_id", F.xxhash64("url", "warc_ts")))
+    n_in = staged.count()
+
+    cfg = PipelineConfig(dedup=args.dedup, mix_col=args.mix_col,
+                         temperature=args.temperature,
+                         pack_budget=args.pack_budget or None,
+                         quality=not args.no_quality,
+                         gopher_kwargs={"min_words": args.min_words,
+                                        "min_stop_hits": args.min_stop_hits})
+    out = preprocess_corpus(staged, cfg)
+    out.write.mode("overwrite").parquet(args.output)
+
+    written = spark.read.parquet(args.output)
+    n_out = written.count()
+    n_packs = (written.select("pack_id").distinct().count()
+               if "pack_id" in written.columns else None)
+    print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                      "n_packs": n_packs, "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
