@@ -1004,3 +1004,23 @@ def test_read_pages_formats(spark, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_pages(spark, jl, fmt="json")
+
+
+def test_preprocess_corpus_validate_stage(spark):
+    """The facade's schema-validation stage drops invalid payloads before
+    the text stages (keep_invalid=False default)."""
+    from gojsonschema_spark.ops.pipeline import (PipelineConfig,
+                                                 preprocess_corpus)
+
+    df = spark.createDataFrame([
+        (1, "h", '{"url":"https://a"}', "good text one"),
+        (2, "h", '{"url":2}', "bad payload doc"),
+        (3, "h", "{broken", "unparseable doc"),
+    ], ["doc_id", "host", "doc", "text"])
+    cfg = PipelineConfig(
+        validate_schema={"type": "object", "required": ["url"],
+                         "properties": {"url": {"type": "string"}}},
+        boilerplate=False, redact=False, dedup="none", quality=False,
+        pack_budget=None)
+    out = preprocess_corpus(df, cfg)
+    assert [r.doc_id for r in out.collect()] == [1]
