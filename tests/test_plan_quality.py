@@ -127,3 +127,22 @@ def test_violations_table_filters_before_python(spark, pages_path):
     # keyword reference (measured 3x the pass-1 cost before the r3 fix)
     assert all("try_variant_get" not in l for l in below), \
         "valid-bit predicate was substituted into FilterExec:\n" + plan
+
+
+def test_no_row_python_in_any_driver_query(spark):
+    """input_hint invariant, swept over the ENTIRE driver surface: no
+    queries() entry may plan a row-at-a-time Python UDF (BatchEvalPython).
+    Python is allowed only as Arrow-batched lanes (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
