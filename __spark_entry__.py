@@ -701,6 +701,20 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "top_bigram_char_frac"))
 
 
+def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized Gopher repetition fractions (r4): top-3-gram and
+    duplicated-5-gram character masses over the word-per-line rendering;
+    DuckDB re-derives both from list lambdas (int-ratio doubles, exact)."""
+    from gojsonschema_spark.ops.text import repetition_metrics
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.replace(F.lower(F.col("text")), F.lit(" "),
+                              F.lit("\n")).alias("text")))
+    return (repetition_metrics(docs, ngram_tops=(3,), ngram_dups=(5,))
+            .select("doc_id", "top_3gram_char_frac", "dup_5gram_char_frac"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (ops/dedup.py::contamination_check):
     13-gram overlap of every document against the doc_id<10 'benchmark'
@@ -905,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "frequent_items": q_frequent_items,
         "semi_anti_orders": q_semi_anti_orders,
+        "repetition_ngrams": q_repetition_ngrams,
     }
 
 
@@ -1268,6 +1283,36 @@ def oracle_sql() -> dict[str, str]:
                      gg -> length(gg) * len(list_filter(grams, x -> x = gg))))
                   / list_sum(list_transform(grams, gg -> length(gg)))
                 ELSE 0.0 END AS top_bigram_char_frac
+            FROM g
+        """,
+        "repetition_ngrams": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> w <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3,
+                list_transform(generate_series(1, greatest(len(toks)-4, 0)),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4]) AS g5
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN coalesce(list_sum(list_transform(g3,
+                       x -> length(x))), 0) > 0 THEN
+                list_max(list_transform(list_distinct(g3),
+                    x -> length(x) * len(list_filter(g3, y -> y = x))))
+                  * 1.0 / list_sum(list_transform(g3, x -> length(x)))
+                ELSE 0.0 END AS top_3gram_char_frac,
+              CASE WHEN coalesce(list_sum(list_transform(g5,
+                       x -> length(x))), 0) > 0 THEN
+                list_sum(list_transform(list_distinct(g5),
+                    x -> length(x) * (len(list_filter(g5, y -> y = x)) - 1)))
+                  * 1.0 / list_sum(list_transform(g5, x -> length(x)))
+                ELSE 0.0 END AS dup_5gram_char_frac
             FROM g
         """,
         "contamination": r"""

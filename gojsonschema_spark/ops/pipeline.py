@@ -142,10 +142,9 @@ def preprocess_corpus(df: DataFrame,
 
     if cfg.quality:
         df = (gopher_quality_filter(df, text_col=text, **cfg.gopher_kwargs)
-              .filter(F.col("keep"))
-              .drop("keep", "ok_word_count", "ok_mean_word_len",
-                    "ok_symbol_ratio", "ok_stopwords", "ok_dup_lines",
-                    "ok_top_bigram"))
+              .filter(F.col("keep")))
+        df = df.drop("keep", *[c for c in df.columns
+                               if c.startswith("ok_")])
 
     if cfg.mix_col:
         df = temperature_resample(df, cfg.mix_col, cfg.temperature,

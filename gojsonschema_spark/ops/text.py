@@ -99,35 +99,79 @@ def _rx(s: str) -> str:
     return _re.escape(s)
 
 
-def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Intra-document repetition fractions (the Gopher-style repetition
-    filters, Rae et al. 2021 §A1.1): duplicate-line fraction (by line
-    count and by character mass) and the character fraction covered by
-    the most frequent word 2-gram.
+def _ngram_run_metrics(toks: Column, n: int) -> Column:
+    """(best, dup, tot) word-``n``-gram character masses in ONE
+    interpreted-lambda pass over the SORTED native-struct gram array:
+    ``best`` = chars of the most frequent gram x its count (top-gram
+    mass), ``dup`` = chars of occurrences past each gram's first (the
+    duplicated-gram char-mass convention, matching the line metrics),
+    ``tot`` = total gram chars. Grams are rendered "t1 t2 ... tn"
+    (len = sum + n-1 separators). Returns a struct column."""
+    N = F.size(toks)
+    cnt = F.greatest(N - (n - 1), F.lit(0))
+    grams = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
+
+    def plen(g):
+        e = F.lit(n - 1)
+        for i in range(n):
+            e = e + F.length(g[str(i)])
+        return e
+
+    init = F.struct(
+        F.struct(*[F.lit(None).cast("string").alias(str(i))
+                   for i in range(n)]).alias("p"),
+        F.lit(0).alias("run"), F.lit(0).alias("best"),
+        F.lit(0).alias("dup"), F.lit(0).alias("tot"))
+
+    def step(st, g):
+        same = st["p"].eqNullSafe(g)
+        run = F.when(same, st["run"] + 1).otherwise(F.lit(1))
+        pl = plen(g)
+        return F.struct(
+            g.alias("p"), run.alias("run"),
+            F.greatest(st["best"], pl * run).alias("best"),
+            (st["dup"] + F.when(same, pl).otherwise(F.lit(0))).alias("dup"),
+            (st["tot"] + pl).alias("tot"))
+
+    return F.aggregate(
+        F.array_sort(grams), init, step,
+        lambda st: F.struct(st["best"].alias("best"), st["dup"].alias("dup"),
+                            st["tot"].alias("tot")))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       ngram_tops: tuple = (2,),
+                       ngram_dups: tuple = ()) -> DataFrame:
+    """Intra-document repetition fractions (the FULL Gopher repetition
+    filter list, Rae et al. 2021 §A1.1): duplicate line AND paragraph
+    fractions (by count and by character mass), the character fraction
+    of the most frequent word n-gram for each n in ``ngram_tops``
+    (Gopher uses 2-4), and the duplicated-n-gram character fraction for
+    each n in ``ngram_dups`` (Gopher uses 5-10; char-mass convention —
+    occurrences past each gram's first — rather than position coverage).
+    Column names: ``top_bigram_char_frac`` for n=2 (compat), else
+    ``top_{n}gram_char_frac`` / ``dup_{n}gram_char_frac``.
 
     Everything is computed per row — at 100 TB this is a pure map-side
-    pass: zero shuffle, no Python. Higher-order lambda expressions are
-    CodegenFallback (interpreted per element), so the hot arrays use
-    NATIVE expressions only — array_remove/array_join/arrays_zip/
-    array_sort/array_distinct — char masses come from join-then-length
-    (duplicate mass = total minus distinct mass), and the single lambda
-    pass left is the run-length aggregate over the SORTED bigram array
-    for the top-gram mass. The first formulation (count-per-distinct
-    inside a lambda, O(distinct x n) interpreted) measured 40s on 200k
-    real pages; this one ~3s. An explode->groupBy formulation would
-    shuffle (doc_id, gram) pairs for a metric that never crosses
-    documents.
+    pass: zero shuffle, no Python (plan-gated). Higher-order lambda
+    expressions are CodegenFallback (interpreted per element), so the
+    hot arrays use NATIVE expressions only and exactly ONE lambda pass
+    runs per requested n (the run-length aggregate over the sorted
+    native-struct gram array — cost scales linearly with
+    len(ngram_tops | ngram_dups)). The first formulation
+    (count-per-distinct inside a lambda, O(distinct x n) interpreted)
+    measured 40s on 200k real pages; this shape ~3s per n. An
+    explode->groupBy formulation would shuffle (doc_id, gram) pairs for
+    a metric that never crosses documents.
     """
     text = F.col(text_col)
-    # lines: tiny arrays (a handful per page) — lambdas are fine here
+    # lines/paragraphs: tiny arrays (a handful per page) — lambdas fine
     lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    paras = F.filter(F.transform(F.split(text, r"\n{2,}"),
+                                 lambda p: F.trim(p)),
+                     lambda p: p != "")
     # tokens: native only (array_remove drops the empty-string artifacts)
     toks = F.array_remove(F.split(F.lower(text), r"\s+"), "")
-    n = F.size(toks)
-    # bigrams as native structs (string building would need a lambda);
-    # struct equality/ordering gives the same run grouping
-    pairs = F.arrays_zip(F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-                         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))))
 
     def _chars(arr):
         return F.length(F.array_join(arr, ""))
@@ -140,45 +184,46 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         # characters of occurrences past the first == total - distinct mass
         return _chars(arr) - _chars(F.array_distinct(arr))
 
-    # max over g of len(g)*count(g) ("a b" rendering: len = len(a)+len(b)+1)
-    # via ONE pass over the sorted pair array: state (prev, run, best)
-    def _plen(p):
-        return F.length(p["0"]) + F.length(p["1"]) + 1
-
-    def _run_step(st, g):
-        # compare struct fields directly (no per-element string building)
-        same = st["p0"].eqNullSafe(g["0"]) & st["p1"].eqNullSafe(g["1"])
-        run = F.when(same, st["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            g["0"].alias("p0"), g["1"].alias("p1"), run.alias("run"),
-            F.greatest(st["best"], _plen(g) * run).alias("best"))
-
-    top_gram_chars = F.aggregate(
-        F.array_sort(pairs),
-        F.struct(F.lit(None).cast("string").alias("p0"),
-                 F.lit(None).cast("string").alias("p1"),
-                 F.lit(0).alias("run"), F.lit(0).alias("best")),
-        _run_step,
-        lambda st: st["best"])
-
     nz = lambda c, denom: F.when(denom > 0, c / denom).otherwise(F.lit(0.0))
-    total_line_chars = _chars(lines)
-    # sum of len("ti ti+1") = 2*total_tok_chars - len(first) - len(last)
-    # + (n-1) spaces — all native arithmetic
-    total_gram_chars = F.when(n >= 2,
-                              2 * _chars(toks)
-                              - F.length(F.element_at(toks, 1))
-                              - F.length(F.element_at(toks, -1))
-                              + (n - 1)).otherwise(F.lit(0))
-    return df.select(
-        "*",
+    line_cols = [
         nz(_dup_count(lines), F.size(lines)).alias("dup_line_frac"),
-        nz(_dup_char_mass(lines), total_line_chars).alias("dup_line_char_frac"),
-        nz(top_gram_chars, total_gram_chars).alias("top_bigram_char_frac"),
-    )
+        nz(_dup_char_mass(lines), _chars(lines)).alias("dup_line_char_frac"),
+        nz(_dup_count(paras), F.size(paras)).alias("dup_para_frac"),
+        nz(_dup_char_mass(paras), _chars(paras)).alias("dup_para_char_frac"),
+    ]
+    ns = sorted(set(ngram_tops) | set(ngram_dups))
+    if not ns:
+        return df.select("*", *line_cols)
+    # the per-n aggregates go behind an explode(array(..)) Generate
+    # barrier: FilterExec/ProjectExec perform no subexpression
+    # elimination on interpreted aggregates, so referencing the metric
+    # struct 2-3x per n (best/dup/tot) would re-run the whole lambda
+    # pass each time — measured 12.5s -> 2.1s (top-2 only) and 49s ->
+    # 8.8s (n=2,3,4,5) on 200k pages
+    metrics = F.struct(*[_ngram_run_metrics(toks, n).alias(f"n{n}")
+                         for n in ns])
+    barrier = df.select("*", *line_cols,
+                        F.explode(F.array(metrics)).alias("__ngr"))
+    cols = []
+    for n in ns:
+        m = F.col("__ngr")[f"n{n}"]
+        if n in ngram_tops:
+            name = ("top_bigram_char_frac" if n == 2
+                    else f"top_{n}gram_char_frac")
+            cols.append(nz(m["best"], m["tot"]).alias(name))
+        if n in ngram_dups:
+            cols.append(nz(m["dup"], m["tot"])
+                        .alias(f"dup_{n}gram_char_frac"))
+    return barrier.select("*", *cols).drop("__ngr")
 
 
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# published Gopher repetition thresholds (Rae et al. 2021, Table A1):
+# max char fraction of the most frequent {2,3,4}-gram, and of duplicated
+# {5..10}-grams
+GOPHER_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
 def gopher_quality_filter(df: DataFrame, text_col: str = "text",
@@ -189,13 +234,20 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
                           min_stop_hits: int = 2,
                           max_dup_line_frac: float = 0.30,
                           max_top_bigram_char_frac: float = 0.20,
-                          stopwords: tuple = _GOPHER_STOPWORDS) -> DataFrame:
+                          stopwords: tuple = _GOPHER_STOPWORDS,
+                          ngram_top_thresholds: dict | None = None,
+                          ngram_dup_thresholds: dict | None = None) -> DataFrame:
     """Composite Gopher-rule quality gate (Rae et al. 2021 §A1.1, the
     public document-filter list): word count, mean word length, symbol-
     to-word ratio (# and ellipses), required-stopword hits (>=2 of
     the/be/to/of/and/that/have/with — override ``stopwords`` for
     non-English corpora), and the repetition fractions. Adds one ``ok_*``
-    bit per rule plus the conjunction ``keep``.
+    bit per rule plus the conjunction ``keep``. Pass
+    ``ngram_top_thresholds=GOPHER_TOP_NGRAM`` /
+    ``ngram_dup_thresholds=GOPHER_DUP_NGRAM`` (or any {n: max_frac}
+    subset) to enable the published per-n repetition rules — each adds
+    one ``ok_top_{n}gram`` / ``ok_dup_{n}gram`` bit and one map-side
+    lambda pass per distinct n.
 
     Scale shape: pure map-side composition of :func:`quality_score` and
     :func:`repetition_metrics` plus native expressions — zero shuffle, no
@@ -204,7 +256,11 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     reproduces the bits bit-for-bit (IEEE division of the same ints)."""
     from functools import reduce
 
-    out = repetition_metrics(quality_score(df, text_col), text_col)
+    tops = dict(ngram_top_thresholds or {})
+    dups = dict(ngram_dup_thresholds or {})
+    out = repetition_metrics(quality_score(df, text_col), text_col,
+                             ngram_tops=tuple({2} | set(tops)),
+                             ngram_dups=tuple(dups))
     text = F.col(text_col)
     toks_lower = F.array_remove(F.split(F.lower(text), r"\s+"), "")
     stop_hits = F.size(F.array_intersect(
@@ -222,6 +278,12 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
         "ok_top_bigram": (F.col("top_bigram_char_frac")
                           <= max_top_bigram_char_frac),
     }
+    for n, thr in sorted(tops.items()):
+        if n == 2:  # covered by ok_top_bigram / max_top_bigram_char_frac
+            continue
+        rules[f"ok_top_{n}gram"] = F.col(f"top_{n}gram_char_frac") <= thr
+    for n, thr in sorted(dups.items()):
+        rules[f"ok_dup_{n}gram"] = F.col(f"dup_{n}gram_char_frac") <= thr
     out = out.select("*", *[c.alias(name) for name, c in rules.items()])
     keep = reduce(lambda a, b: a & b, [F.col(name) for name in rules])
     return out.withColumn("keep", keep)

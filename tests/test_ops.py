@@ -1024,3 +1024,60 @@ def test_preprocess_corpus_validate_stage(spark):
         pack_budget=None)
     out = preprocess_corpus(df, cfg)
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_repetition_metrics_ngrams_and_paragraphs(spark):
+    """Generalized Gopher repetition: top-3-gram mass, duplicated-5-gram
+    mass (char-mass convention) and paragraph duplicates, hand-computed;
+    plan stays map-side with exactly one aggregate pass per n (the
+    metric struct sits behind a Generate barrier)."""
+    from gojsonschema_spark.ops.text import repetition_metrics
+
+    # "a b c" x3 -> 5-grams: [a b c a b],[b c a b c],[c a b c a],
+    # [a b c a b],[b c a b c] -> 2 dups of 9 chars each, total 45
+    rep = "a b c a b c a b c"
+    para = "first paragraph here\n\nsecond one\n\nfirst paragraph here"
+    df = spark.createDataFrame([("r", rep), ("p", para)], ["id", "text"])
+    out = {r.id: r for r in repetition_metrics(
+        df, ngram_tops=(2, 3), ngram_dups=(5,)).collect()}
+
+    r = out["r"]
+    # top 3-gram "a b c" (5 chars) occurs 3x of 7 grams (5 chars each)
+    assert abs(r.top_3gram_char_frac - 15 / 35) < 1e-12
+    assert abs(r.dup_5gram_char_frac - 18 / 45) < 1e-12
+    p = out["p"]
+    assert abs(p.dup_para_frac - 1 / 3) < 1e-12
+    assert p.dup_para_char_frac > 0
+
+    plan = repetition_metrics(
+        df, ngram_tops=(2, 3), ngram_dups=(5,)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_gopher_filter_published_ngram_rules(spark):
+    """The full published Gopher rule set (top 2-4, dup 5-10) wires into
+    the gate: a 5-gram-repetitive doc fails ok_dup_5gram while healthy
+    prose passes every bit."""
+    from gojsonschema_spark.ops.text import (GOPHER_DUP_NGRAM,
+                                             GOPHER_TOP_NGRAM,
+                                             gopher_quality_filter)
+
+    good = ("the quick brown fox jumps over one lazy dog and then "
+            "that other dog ran off to be with seven more foxes having "
+            "found plenty of room with them all around here today while "
+            "nothing repeated itself in any bothersome way at all")
+    spam = ("buy cheap widgets now " * 12) + "the of and be with that"
+    df = spark.createDataFrame([("good", good), ("spam", spam)],
+                               ["id", "text"])
+    out = {r.id: r for r in gopher_quality_filter(
+        df, min_words=20,
+        ngram_top_thresholds=GOPHER_TOP_NGRAM,
+        ngram_dup_thresholds=GOPHER_DUP_NGRAM).collect()}
+    assert out["good"].keep
+    for n in (3, 4):
+        assert out["good"][f"ok_top_{n}gram"]
+    for n in range(5, 11):
+        assert out["good"][f"ok_dup_{n}gram"]
+        assert not out["spam"][f"ok_dup_{n}gram"]
+    assert not out["spam"].keep
