@@ -236,7 +236,9 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
                           max_top_bigram_char_frac: float = 0.20,
                           stopwords: tuple = _GOPHER_STOPWORDS,
                           ngram_top_thresholds: dict | None = None,
-                          ngram_dup_thresholds: dict | None = None) -> DataFrame:
+                          ngram_dup_thresholds: dict | None = None,
+                          max_dup_para_frac: float | None = None,
+                          max_dup_para_char_frac: float | None = None) -> DataFrame:
     """Composite Gopher-rule quality gate (Rae et al. 2021 §A1.1, the
     public document-filter list): word count, mean word length, symbol-
     to-word ratio (# and ellipses), required-stopword hits (>=2 of
@@ -284,6 +286,12 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
         rules[f"ok_top_{n}gram"] = F.col(f"top_{n}gram_char_frac") <= thr
     for n, thr in sorted(dups.items()):
         rules[f"ok_dup_{n}gram"] = F.col(f"dup_{n}gram_char_frac") <= thr
+    # published paragraph rules (Gopher: 0.30 / 0.20), opt-in
+    if max_dup_para_frac is not None:
+        rules["ok_dup_paras"] = F.col("dup_para_frac") <= max_dup_para_frac
+    if max_dup_para_char_frac is not None:
+        rules["ok_dup_para_chars"] = (F.col("dup_para_char_frac")
+                                      <= max_dup_para_char_frac)
     out = out.select("*", *[c.alias(name) for name, c in rules.items()])
     keep = reduce(lambda a, b: a & b, [F.col(name) for name in rules])
     return out.withColumn("keep", keep)

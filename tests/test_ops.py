@@ -1081,3 +1081,13 @@ def test_gopher_filter_published_ngram_rules(spark):
         assert out["good"][f"ok_dup_{n}gram"]
         assert not out["spam"][f"ok_dup_{n}gram"]
     assert not out["spam"].keep
+
+    # paragraph rules (published 0.30 / 0.20): a doc repeating a whole
+    # paragraph trips both bits
+    para_doc = ("repeated paragraph body here\n\nthe of and be with that "
+                "unique middle\n\nrepeated paragraph body here")
+    df2 = spark.createDataFrame([("pd", para_doc)], ["id", "text"])
+    (r2,) = gopher_quality_filter(df2, min_words=1, min_stop_hits=0,
+                                  max_dup_para_frac=0.30,
+                                  max_dup_para_char_frac=0.20).collect()
+    assert not r2.ok_dup_paras and not r2.ok_dup_para_chars and not r2.keep
