@@ -83,10 +83,14 @@ def bench_queries(spark) -> dict[str, float]:
     assert v.uses_column_plan, v.unsupported_reason
 
     timings: dict[str, float] = {}
+    only = set(filter(None, os.environ.get(
+        "SPARK_GRAFT_BENCH_FILTER", "").split(",")))
 
     def run(name, fn, reps: int = 3):
         # best-of-N: first execution pays JVM JIT/codegen warm-up, which
         # dwarfs steady-state cost for short queries on this sandbox
+        if only and name not in only:
+            return
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -100,6 +104,15 @@ def bench_queries(spark) -> dict[str, float]:
     docs.limit(10).count()
     warm = docs.limit(2000)
     v.violations_table(warm, "doc", []).groupBy("keyword").count().collect()
+    # interpreted-HOF warm-up for the n-gram run-length aggregate
+    # (repetition/gopher/pipeline queries; CodegenFallback). NB the real
+    # fix for the ~10x bimodal slow mode those queries showed was in the
+    # OPERATOR (ops/text.py: sort_array, whose direct type ordering
+    # replaces array_sort's per-comparison interpreted comparator
+    # expression — 33s -> 4.6s in this harness); the warm rep just keeps
+    # first-timed-rep JIT noise out of best-of-3
+    (tx.repetition_metrics(pages.select("text").limit(4000))
+     .agg(F.avg("top_bigram_char_frac")).collect())
 
     run("validate_pages_sql", lambda: v.validate_json(docs, "doc", violations_col=None)
         .agg(F.count(F.lit(1)), F.sum(F.col("valid").cast("int"))).collect())
@@ -264,7 +277,8 @@ def one_pass(cpus: int, flagship: bool = False) -> dict:
         ensure_pages(spark)
         timings = flagship_only(spark) if flagship else bench_queries(spark)
         total = round(sum(timings.values()), 3)
-        docs_per_sec = round(N_PAGES / timings["validate_pages_sql"], 1)
+        docs_per_sec = round(
+            N_PAGES / timings.get("validate_pages_sql", float("inf")), 1)
         return {
             "metric": "total_bench_sec",
             "value": total,

@@ -133,8 +133,14 @@ def _ngram_run_metrics(toks: Column, n: int) -> Column:
             (st["dup"] + F.when(same, pl).otherwise(F.lit(0))).alias("dup"),
             (st["tot"] + pl).alias("tot"))
 
+    # sort_array, NOT array_sort: array_sort's default comparator is a
+    # full catalyst EXPRESSION (If(LessThan(..))) interpreted once per
+    # TimSort comparison — measured pathologically slow (~10x) under
+    # adverse JIT states; sort_array compares through the type's direct
+    # ordering (same ascending field-lexicographic result for null-free
+    # structs)
     return F.aggregate(
-        F.array_sort(grams), init, step,
+        F.sort_array(grams), init, step,
         lambda st: F.struct(st["best"].alias("best"), st["dup"].alias("dup"),
                             st["tot"].alias("tot")))
 
