@@ -414,16 +414,24 @@ def duplicate_clusters(pairs: DataFrame, key_a: str = "a", key_b: str = "b",
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
                          key_col: str = "doc_id",
-                         key_a: str = "a", key_b: str = "b") -> DataFrame:
+                         key_a: str = "a", key_b: str = "b",
+                         broadcast_losers: bool = False) -> DataFrame:
     """Drop every member of each duplicate cluster except its canonical
     (minimum-key) survivor. Non-clustered rows pass through untouched:
-    the cluster map covers only keys that appear in a pair, so the join
-    is against a SMALL side (duplicates are a few % of a web corpus) and
-    broadcasts."""
+    the cluster map covers only keys that appear in a pair.
+
+    The losers side is NOT force-broadcast by default (r4): "a few % of
+    a web corpus" is still 10^10 keys at 10^12 rows — an unconditional
+    broadcast hint is the classic driver/executor OOM. AQE's runtime
+    stats convert the anti-join to a broadcast automatically whenever
+    the loser set really is small, which is the right call at every
+    scale; pass ``broadcast_losers=True`` to force the hint when the
+    caller KNOWS the set is tiny (unit-scale corpora, hot-fix runs)."""
     clusters = duplicate_clusters(pairs, key_a, key_b)
     losers = clusters.filter(F.col("key") != F.col("cluster")).select("key")
-    return df.join(F.broadcast(losers),
-                   df[key_col] == losers.key, "left_anti")
+    if broadcast_losers:
+        losers = F.broadcast(losers)
+    return df.join(losers, df[key_col] == losers["key"], "left_anti")
 
 
 def boilerplate_lines(df: DataFrame, host_col: str = "host",
