@@ -256,9 +256,12 @@ def lsh_embedding_near_dups(df: DataFrame, planes: list[list[float]],
         F.col(vec_col).cast("array<double>").alias("v"),
         F.explode(F.array(hyperplane_signature(F.col(vec_col), planes)))
          .alias("sig"))
-    sizes = signed.groupBy("sig").agg(F.count(F.lit(1)).alias("n"))
-    signed = (signed.join(F.broadcast(sizes.filter(F.col("n") <= max_bucket)
-                                      .select("sig")), "sig"))
+    # deny-list anti-join (r4): broadcasting the ALLOW-list of ok
+    # signatures is unbounded (up to |distinct sigs|); the OVERSIZED set
+    # is tiny by construction
+    oversized = (signed.groupBy("sig").agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") > max_bucket).select("sig"))
+    signed = signed.join(F.broadcast(oversized), "sig", "left_anti")
     a = signed.select("sig", F.col("k").alias("a"), F.col("v").alias("va"))
     b = signed.select("sig", F.col("k").alias("b"), F.col("v").alias("vb"))
     pairs = a.join(b, ["sig"]).filter(F.col("a") < F.col("b"))
