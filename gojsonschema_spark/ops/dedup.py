@@ -20,7 +20,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import normalize_text, tokenize
 
-__all__ = ["exact_duplicates", "shingles", "minhash_signatures",
+__all__ = ["exact_duplicates", "exact_dedup_keep_canonical", "shingles",
+           "minhash_signatures",
            "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs",
            "embedding_near_dups", "lsh_embedding_near_dups",
            "duplicate_paragraphs", "contamination_check",
@@ -62,6 +63,34 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
                      F.slice(F.sort_array(F.flatten(F.collect_list("__m"))),
                              1, max_members).alias("members"))
                 .filter(F.col("n_dups") >= 2))
+
+
+def exact_dedup_keep_canonical(df: DataFrame, text_col: str = "text",
+                               key_col: str = "doc_id") -> DataFrame:
+    """Exact dedup, DIRECTLY: keep the minimum-key row of every
+    byte-identical (after normalization) fingerprint group, at ANY group
+    size. Byte-identical groups need no pair/cluster machinery — the
+    canonical survivor is simply min(key) per fingerprint — so this is
+    one salted-combinable groupBy (map-side partial mins; a degenerate
+    10^9-member empty-text group reduces to one row per map partition
+    before the shuffle) plus one fp-keyed join back. Routing exact dedup
+    through :func:`exact_duplicates`' exemplar-capped member lists
+    under-deduplicates groups larger than the cap (the r4 facade bug:
+    >64-member degenerate groups kept all members past the cap); the
+    exemplar cap is a REPORTING bound, not an edge source.
+
+    The join back is NOT broadcast (|distinct fp| ~ |corpus| at 10^12
+    rows); a skewed fp on the probe side streams against exactly one
+    build row, and AQE's skew-join split handles the residual sort skew.
+    ``key_col`` must be unique per row (same contract as
+    :func:`dedup_keep_canonical`)."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    keyed = df.withColumn("__fp", fp)
+    canon = (keyed.groupBy("__fp")
+             .agg(F.min(key_col).alias("__canon")))
+    return (keyed.join(canon, "__fp")
+            .filter(F.col(key_col) == F.col("__canon"))
+            .drop("__fp", "__canon"))
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -366,18 +395,22 @@ def duplicate_clusters(pairs: DataFrame, key_a: str = "a", key_b: str = "b",
     checkpoint, the returned plan references a constant-depth scan
     regardless of iteration count (gated in
     tests/test_duplicate_clusters_and_canonical). Convergence costs NO
-    extra job: labels are monotonically non-increasing (min of own +
-    neighbors), so sum(cluster) is stationary iff nothing changed — the
-    one aggregate both materializes the lazy checkpoint and yields the
-    scalar (summed as DECIMAL(38,0): 10^12 keys x 64-bit labels
-    overflows int64). Non-numeric keys (string urls) keep the join-based
-    changed count — casting them to decimal would NULL the sum and fake
-    instant convergence. Raises RuntimeError if ``max_iter`` is exhausted
-    before convergence — silently returning half-propagated labels would
-    make dedup_keep_canonical keep extra duplicates."""
-    from pyspark.sql.types import NumericType
+    extra job for INTEGRAL keys: labels are monotonically non-increasing
+    (min of own + neighbors), so sum(cluster) is stationary iff nothing
+    changed — the one aggregate both materializes the lazy checkpoint
+    and yields the scalar (summed as DECIMAL(38,0): 10^12 keys x 64-bit
+    labels overflows int64). The sum check is gated on IntegralType
+    ONLY (r5): a fractional key change like 2.41 -> 2.4 is invisible
+    after the decimal(38,0) cast, so float/double/decimal-scale keys
+    would fake convergence mid-propagation; they keep the exact
+    join-based changed count, as do non-numeric keys (string urls,
+    where the decimal cast would NULL the sum). Raises RuntimeError if
+    ``max_iter`` is exhausted before convergence — silently returning
+    half-propagated labels would make dedup_keep_canonical keep extra
+    duplicates."""
+    from pyspark.sql.types import IntegralType
 
-    numeric_keys = isinstance(pairs.schema[key_a].dataType, NumericType)
+    numeric_keys = isinstance(pairs.schema[key_a].dataType, IntegralType)
     dec_sum = F.sum(F.col("cluster").cast("decimal(38,0)"))
     edges = (pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
              .union(pairs.select(F.col(key_b).alias("src"),
@@ -439,15 +472,22 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
 
 def boilerplate_lines(df: DataFrame, host_col: str = "host",
                       text_col: str = "text", min_docs: int = 4,
-                      frac: float = 0.5) -> DataFrame:
+                      frac: float = 0.5,
+                      broadcast_hosts: bool = False) -> DataFrame:
     """Per-host boilerplate detection (nav bars, footers, cookie banners):
     a line occurring in >= ``frac`` of a host's documents (hosts with >=
     ``min_docs`` docs) is boilerplate. Returns (host, line_fp, df, n_docs).
 
     Scale shape: per-document DISTINCT line fingerprints explode to
     (host, fp) rows (16-byte digests, not line text); one count shuffle
-    keyed on (host, fp); host doc-counts reduce to |hosts| rows and
-    broadcast back."""
+    keyed on (host, fp); host doc-counts reduce to |hosts| rows and join
+    back. The host-count dim is NOT force-broadcast by default (r5):
+    |hosts| is unbounded by construction — a Common-Crawl-scale corpus
+    has ~10^8 hosts, the same unconditional-broadcast OOM class removed
+    from dedup_keep_canonical in r4. AQE's runtime stats broadcast it
+    automatically whenever it really is small; pass
+    ``broadcast_hosts=True`` to force the hint for known-small host
+    sets."""
     lines = F.array_distinct(F.filter(
         F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
         lambda l: l != ""))
@@ -458,23 +498,34 @@ def boilerplate_lines(df: DataFrame, host_col: str = "host",
     host_docs = (df.groupBy(host_col)
                  .agg(F.count(F.lit(1)).alias("n_docs"))
                  .filter(F.col("n_docs") >= min_docs))
-    return (line_df.join(F.broadcast(host_docs), host_col)
+    if broadcast_hosts:
+        host_docs = F.broadcast(host_docs)
+    return (line_df.join(host_docs, host_col)
             .filter(F.col("df") >= frac * F.col("n_docs")))
 
 
 def strip_boilerplate(df: DataFrame, bp: DataFrame,
                       host_col: str = "host", text_col: str = "text",
-                      out_col: str = "text_clean") -> DataFrame:
+                      out_col: str = "text_clean",
+                      broadcast_hosts: bool = False) -> DataFrame:
     """Remove the detected boilerplate lines from each document: the
-    boilerplate set folds to one fp-array per host (small: repeated
-    chrome, not content), joins back on host, and a per-row array filter
-    rebuilds the text. Hosts with no boilerplate pass through. The
-    fp-set side is broadcast EXPLICITLY (|hosts| rows, not 10^12) — at
-    scale, misleading statistics must not silently demote this to a
-    sort-merge shuffle of the whole corpus on host."""
+    boilerplate set folds to one fp-array per host (repeated chrome, not
+    content), joins back on host, and a per-row array filter rebuilds
+    the text. Hosts with no boilerplate pass through.
+
+    The per-host fp-set dim is NOT force-broadcast by default (r5): its
+    size is bounded only by |hosts with >= min_docs| — 10^7-10^8 rows at
+    web scale, each carrying an ARRAY of md5 strings, i.e. multi-GB —
+    the same unbounded-broadcast pattern r4 removed from
+    dedup_keep_canonical. AQE converts the join to broadcast at runtime
+    whenever the dim is actually small; ``broadcast_hosts=True`` forces
+    the hint for known-small host sets (unit corpora, single-site
+    runs)."""
     sets = bp.groupBy(host_col).agg(
         F.collect_set("line_fp").alias("__bp_fps"))
-    joined = df.join(F.broadcast(sets), on=host_col, how="left")
+    if broadcast_hosts:
+        sets = F.broadcast(sets)
+    joined = df.join(sets, on=host_col, how="left")
     lines = F.split(F.col(text_col), r"\n")
     kept = F.when(F.col("__bp_fps").isNotNull(), F.filter(
         lines,

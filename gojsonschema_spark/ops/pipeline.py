@@ -39,6 +39,9 @@ class PipelineConfig:
     boilerplate: bool = True
     boilerplate_min_docs: int = 8
     boilerplate_frac: float = 0.5
+    # opt-in broadcast of the |hosts|-sized boilerplate dims (unbounded
+    # at web scale — default lets AQE decide from runtime stats)
+    boilerplate_broadcast_hosts: bool = False
 
     # stage 2: PII redaction
     redact: bool = True
@@ -82,7 +85,7 @@ def preprocess_corpus(df: DataFrame,
     and will all be kept or all dropped together."""
     from ..spark.engine import SparkValidator
     from .dedup import (dedup_keep_canonical, boilerplate_lines,
-                        exact_duplicates, minhash_lsh_pairs,
+                        exact_dedup_keep_canonical, minhash_lsh_pairs,
                         ngram_jaccard_pairs, strip_boilerplate)
     from .text import (gopher_quality_filter, pack_sequences, redact_pii,
                        temperature_resample, token_count_bpe)
@@ -110,9 +113,11 @@ def preprocess_corpus(df: DataFrame,
         df = fork_point(df)  # consumed by line census, host counts, strip
         bp = boilerplate_lines(df, host_col=cfg.host_col, text_col=text,
                                min_docs=cfg.boilerplate_min_docs,
-                               frac=cfg.boilerplate_frac)
+                               frac=cfg.boilerplate_frac,
+                               broadcast_hosts=cfg.boilerplate_broadcast_hosts)
         df = strip_boilerplate(df, bp, host_col=cfg.host_col,
-                               text_col=text, out_col="__text_stripped")
+                               text_col=text, out_col="__text_stripped",
+                               broadcast_hosts=cfg.boilerplate_broadcast_hosts)
         text = "__text_stripped"
 
     if cfg.redact:
@@ -120,14 +125,15 @@ def preprocess_corpus(df: DataFrame,
         text = "__text_redacted"
 
     if cfg.dedup in ("exact", "minhash"):
-        df = fork_point(df)  # consumed by the pair-generation side + main
+        df = fork_point(df)  # consumed by the group/pair side + main
     if cfg.dedup == "exact":
-        groups = exact_duplicates(df, text_col=text, key_col=cfg.key_col,
-                                  max_members=64)
-        pairs = (groups.select(F.explode("members").alias("b"),
-                               F.col("members")[0].alias("a"))
-                 .filter(F.col("b") != F.col("a")))
-        df = dedup_keep_canonical(df, pairs, key_col=cfg.key_col)
+        # direct min-key survivor per fingerprint — exact at ANY group
+        # size (the r4 exemplar-capped pair route under-deduplicated
+        # groups with >64 members: the very degenerate clusters exact
+        # dedup exists for), and one shuffle cheaper (no pair explosion,
+        # no transitive closure — byte-identical groups are cliques)
+        df = exact_dedup_keep_canonical(df, text_col=text,
+                                        key_col=cfg.key_col)
     elif cfg.dedup == "minhash":
         cand = minhash_lsh_pairs(df, text_col=text, key_col=cfg.key_col,
                                  num_hashes=cfg.minhash_num_hashes,

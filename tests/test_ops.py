@@ -777,12 +777,22 @@ def test_boilerplate_detection_and_strip(spark):
         else:
             assert clean == text  # untouched host
 
-    # the per-host fp-set join must be an EXPLICIT broadcast (r4): at
-    # scale, stale statistics must never demote it to a sort-merge
-    # shuffle of the corpus on host
-    plan = stripped._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # the |hosts|-sized dims must NOT be force-broadcast by default (r5):
+    # |hosts| is unbounded at web scale (10^7-10^8 hosts, fp-ARRAY rows),
+    # the same unconditional-broadcast OOM class r4 removed from
+    # dedup_keep_canonical — AQE decides from runtime stats instead
+    logical = stripped._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+
+    # the opt-in hint (known-small host sets) must still force the
+    # broadcast plan
+    bp_h = boilerplate_lines(df, min_docs=4, frac=0.6, broadcast_hosts=True)
+    stripped_h = strip_boilerplate(df, bp_h, broadcast_hosts=True)
+    assert {(r.host, r.text): r.text_clean
+            for r in stripped_h.collect()} == out
+    plan_h = stripped_h._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_h or "BroadcastNestedLoopJoin" in plan_h
+    assert "SortMergeJoin" not in plan_h
 
 
 def test_url_host(spark):
@@ -919,6 +929,56 @@ def test_duplicate_clusters_string_keys(spark):
     labels = {r.key: r.cluster for r in duplicate_clusters(pairs).collect()}
     assert labels == {"u/a": "u/a", "u/b": "u/a", "u/c": "u/a",
                       "u/x": "u/x", "u/y": "u/x"}
+
+
+def test_duplicate_clusters_float_keys(spark):
+    """Fractional keys must use the exact join-based convergence check
+    (r5 ADVICE): the decimal(38,0)-sum criterion cannot see a label move
+    like 2.41 -> 2.4, so it declares convergence mid-propagation. The
+    chain 2.39-2.41-2.4 is the adversarial case: iteration 1 changes
+    only fractional digits (sum stationary at 6), yet 2.4's label still
+    needs a second hop to reach 2.39."""
+    from gojsonschema_spark.ops.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2.39, 2.41), (2.41, 2.4)], ["a", "b"])
+    labels = {r.key: r.cluster for r in duplicate_clusters(pairs).collect()}
+    assert labels == {2.39: 2.39, 2.41: 2.39, 2.4: 2.39}
+
+
+def test_exact_dedup_keep_canonical(spark):
+    """Direct exact dedup: min-key survivor per normalized-text group at
+    ANY group size, unpaired rows untouched, columns preserved."""
+    from gojsonschema_spark.ops.dedup import exact_dedup_keep_canonical
+
+    rows = [(i, "dupe text", "x") for i in range(100, 300)]  # 200 members
+    rows += [(5, "Dupe   TEXT", "y"),   # normalizes into the same group
+             (1, "unique one", "z"), (2, "unique two", "w")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "extra"])
+    out = exact_dedup_keep_canonical(df)
+    assert out.columns == ["doc_id", "text", "extra"]
+    kept = sorted((r.doc_id, r.extra) for r in out.collect())
+    # the 201-member group keeps ONLY doc_id 5 (global min key)
+    assert kept == [(1, "z"), (2, "w"), (5, "y")]
+
+
+def test_preprocess_corpus_exact_dedup_large_group(spark):
+    """r4 judge finding: the facade's exact route derived dedup edges
+    from exact_duplicates' 64-exemplar cap, so a >64-member duplicate
+    group (the degenerate empty-text/boilerplate clusters exact dedup
+    exists for) kept every member past the cap. The direct min-key
+    route must keep exactly ONE survivor regardless of group size."""
+    from gojsonschema_spark.ops.pipeline import (PipelineConfig,
+                                                 preprocess_corpus)
+
+    rows = [(i, "identical degenerate page body") for i in range(200)]
+    rows += [(1000 + i, f"distinct page body number {i}") for i in range(7)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = PipelineConfig(boilerplate=False, redact=False, dedup="exact",
+                         quality=False, pack_budget=None)
+    out = preprocess_corpus(df, cfg)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0] + [1000 + i for i in range(7)]
 
 
 def test_preprocess_corpus_facade(spark):
