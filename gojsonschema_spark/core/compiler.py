@@ -167,12 +167,20 @@ class SubSchema:
 
 
 class SchemaPool:
-    """Document pool: canonical-URL -> (document, detected draft)."""
+    """Document pool: canonical-URL -> (document, detected draft).
 
-    def __init__(self, store: dict, auto_detect: bool):
+    ``fetcher`` is the optional remote-resolution hook (r5): a callable
+    ``url -> JSON text | parsed document`` consulted at COMPILE time for
+    canonical URLs absent from the registered store — the counterpart of
+    the reference's live GET (jsonLoader.go:180-204, the suite's
+    localhost:1234 server jsonschema_test.go:129-135). Fetching stays
+    driver-side: executors only ever see the compiled graph."""
+
+    def __init__(self, store: dict, auto_detect: bool, fetcher=None):
         self.docs: dict[str, tuple[object, int | None]] = {}
         self.store = store
         self.auto_detect = auto_detect
+        self.fetcher = fetcher
 
     def parse_references(self, document, ref: str, pooled: bool) -> None:
         if pooled and ref in self.docs:
@@ -229,13 +237,29 @@ class SchemaPool:
                 raise SchemaCompileError(str(e)) from None
             self.docs[ref] = (node, base_draft)
             return node, base_draft
-        # 3. "remote" fetch — driver-side registered store only, no network
+        # 3. "remote" fetch — registered store first, then the optional
+        # driver-side fetcher hook (reference jsonLoader.go:180-204)
         if not is_canonical(ref):
             raise SchemaCompileError(f"Reference {ref} must be canonical")
+        if url not in self.store and self.fetcher is not None:
+            try:
+                fetched = self.fetcher(url)
+            except Exception as e:
+                raise SchemaCompileError(
+                    f"Could not resolve schema document {url!r}: remote "
+                    f"fetch failed: {e}") from None
+            if isinstance(fetched, bytes):
+                fetched = fetched.decode("utf-8")
+            if isinstance(fetched, str):
+                fetched = parse_json(fetched)   # lexical numbers
+            else:
+                fetched = _as_lexical(fetched)
+            self.store[url] = fetched
         if url not in self.store:
             raise SchemaCompileError(
                 f"Could not resolve schema document {url!r}: not in the "
-                f"registered schema store (network fetch is not performed)"
+                f"registered schema store and no fetcher hook is installed "
+                f"(pass fetcher= to SchemaCompiler for live resolution)"
             )
         document = copy.deepcopy(self.store[url])
         self.parse_references(document, url, pooled=True)
@@ -266,7 +290,8 @@ class SchemaCompiler:
     """SchemaLoader-equivalent: owns the pool + compile options."""
 
     def __init__(self, draft=Draft.HYBRID, auto_detect: bool = True,
-                 validate_schema: bool = False, formats: FormatRegistry = None):
+                 validate_schema: bool = False, formats: FormatRegistry = None,
+                 fetcher=None):
         self.draft = Draft.of(draft)
         self.auto_detect = auto_detect
         self.validate_schema = validate_schema
@@ -274,7 +299,9 @@ class SchemaCompiler:
         self.store: dict[str, object] = {}
         for url, (_, fname) in METASCHEMA_URLS.items():
             self.store[url] = _load_metaschema(fname)
-        self.pool = SchemaPool(self.store, auto_detect)
+        # fetcher: optional url -> JSON text/doc hook for canonical $refs
+        # not pre-registered (see SchemaPool; io/loaders.py http_fetcher)
+        self.pool = SchemaPool(self.store, auto_detect, fetcher=fetcher)
         self._reference_pool: dict[str, SubSchema] = {}
 
     # -- store management (reference SchemaLoader.AddSchema/AddSchemas) ----

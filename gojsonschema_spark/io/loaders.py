@@ -3,9 +3,10 @@ JSONLoader family (reference jsonLoader.go:97-386, SURVEY.md §2.1).
 
 All loading happens on the DRIVER at compile time; executors never fetch
 schemas. ``file://`` URIs resolve against the local filesystem;
-``http(s)://`` URIs resolve ONLY against documents pre-registered in the
-compiler's store (no network — reference parity for the embedded
-meta-schema cache, jsonLoader.go:180-186).
+``http(s)://`` URIs resolve against documents pre-registered in the
+compiler's store, or — when the compiler was built with
+``fetcher=http_fetcher()`` — via a live driver-side GET at compile time
+(reference jsonLoader.go:180-204). The default remains store-only.
 """
 
 from __future__ import annotations
@@ -19,7 +20,38 @@ from ..core.errors import SchemaCompileError
 from ..core.jsonvalue import Num, parse_json
 
 __all__ = ["string_loader", "bytes_loader", "file_loader", "python_loader",
-           "raw_loader", "load_reference", "compiler_with_dir"]
+           "raw_loader", "load_reference", "compiler_with_dir",
+           "http_fetcher"]
+
+
+def http_fetcher(timeout: float = 10.0, max_bytes: int = 8 * 1024 * 1024):
+    """Fetcher hook for ``SchemaCompiler(fetcher=...)``: resolves canonical
+    http(s) ``$ref`` URLs with a driver-side GET at COMPILE time — the
+    counterpart of the reference's live reference loader
+    (jsonLoader.go:180-204; its test suite serves testdata/remotes/ on
+    localhost:1234, jsonschema_test.go:129-135). Returns the raw JSON
+    text; the compiler parses it with lexical numbers and caches it in
+    the store, so each URL is fetched at most once per compiler.
+
+    Executors never call this: schemas compile once on the driver and
+    ship as a compiled graph. ``max_bytes`` bounds the response read — a
+    schema document is KBs, and an unbounded read from a misconfigured
+    URL must not exhaust driver memory."""
+    from urllib.request import urlopen
+
+    def fetch(url: str) -> str:
+        scheme = urlsplit(url).scheme
+        if scheme not in ("http", "https"):
+            raise SchemaCompileError(
+                f"http_fetcher only resolves http(s) URLs, got {url!r}")
+        with urlopen(url, timeout=timeout) as resp:
+            data = resp.read(max_bytes + 1)
+        if len(data) > max_bytes:
+            raise SchemaCompileError(
+                f"schema document {url!r} exceeds max_bytes={max_bytes}")
+        return data.decode("utf-8")
+
+    return fetch
 
 
 def string_loader(text: str):

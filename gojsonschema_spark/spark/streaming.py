@@ -178,52 +178,59 @@ def sessionize_stream_event_time(df: DataFrame, key_col: str = "user_id",
         StructField("session_end", TimestampType()),
         StructField("n_events", LongType()),
     ])
+    # state keeps event times as INTEGER microseconds (r5 ADVICE): float64
+    # epoch seconds cannot exactly represent microsecond timestamps at
+    # current epochs (~0.1-0.2us round-trip error), so session bounds could
+    # drift sub-us and exact gap-boundary comparisons (s - last <= gap)
+    # could flip versus sessionize_batch. All gap arithmetic is integral;
+    # timestamps materialize only at emission.
     state_schema = StructType([
-        StructField("starts", ArrayType(DoubleType())),
-        StructField("lasts", ArrayType(DoubleType())),
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
         StructField("ns", ArrayType(LongType())),
     ])
-    gap = float(gap_sec)
+    gap_us = int(round(float(gap_sec) * 1_000_000))
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
 
-        wm = state.getCurrentWatermarkMs() / 1000.0
+        wm_us = state.getCurrentWatermarkMs() * 1000
         intervals = []
         if state.exists:
             starts, lasts, ns = state.get
             intervals = list(zip(starts, lasts, ns))
         if not state.hasTimedOut:
             for pdf in pdfs:
-                for t in (pdf[ts_col].astype("int64") / 1e9):
-                    intervals.append((float(t), float(t), 1))
+                for t in (pdf[ts_col].astype("int64") // 1000):  # ns -> us
+                    intervals.append((int(t), int(t), 1))
         # interval-union with gap tolerance == sessionization of the
         # multiset of all (in-state + newly arrived) event times
         intervals.sort()
         merged = []
         for s, l, n in intervals:
-            if merged and s - merged[-1][1] <= gap:
+            if merged and s - merged[-1][1] <= gap_us:
                 merged[-1][1] = max(merged[-1][1], l)
                 merged[-1][2] += n
             else:
                 merged.append([s, l, n])
-        closed = [iv for iv in merged if iv[1] + gap <= wm]
-        open_ = [iv for iv in merged if iv[1] + gap > wm]
+        closed = [iv for iv in merged if iv[1] + gap_us <= wm_us]
+        open_ = [iv for iv in merged if iv[1] + gap_us > wm_us]
         if open_:
             state.update(([iv[0] for iv in open_],
                           [iv[1] for iv in open_],
                           [iv[2] for iv in open_]))
             # fire when the watermark passes the earliest open expiry
             # (must be strictly beyond the current watermark)
-            expiry_ms = int((open_[0][1] + gap) * 1000)
-            state.setTimeoutTimestamp(max(expiry_ms, int(wm * 1000) + 1))
+            expiry_ms = (open_[0][1] + gap_us) // 1000
+            state.setTimeoutTimestamp(
+                max(expiry_ms, state.getCurrentWatermarkMs() + 1))
         else:
             state.remove()
         if closed:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in closed],
-                "session_end": [pd.Timestamp(l, unit="s") for _, l, _ in closed],
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(l, unit="us") for _, l, _ in closed],
                 "n_events": [n for _, _, n in closed],
             })
 

@@ -410,6 +410,64 @@ def test_sessionize_stream_event_time_late_merge(spark, tmp_path):
         q.stop()
 
 
+def test_sessionize_stream_event_time_microsecond_boundaries(spark, tmp_path):
+    """State is integer microseconds (r5 ADVICE): an event EXACTLY gap
+    seconds after the previous one must merge, one microsecond later must
+    split — float64 epoch-second state has only ~0.5us resolution at
+    current epochs, so these boundary comparisons could flip vs
+    sessionize_batch."""
+    from gojsonschema_spark.spark.streaming import (
+        sessionize_batch, sessionize_stream_event_time)
+
+    src = tmp_path / "events_us"
+    src.mkdir()
+    evs = ["2024-06-01T10:00:00.000001",   # session A start
+           "2024-06-01T10:00:01.000001",   # delta exactly 1.0s -> merges
+           "2024-06-01T10:00:02.000002"]   # delta 1.000001s -> new session
+    with open(src / "b1.json", "w") as f:
+        for t in evs:
+            f.write(json.dumps({"user_id": 1, "ts": t}) + "\n")
+
+    schema = StructType([StructField("user_id", StringType()),
+                         StructField("ts", StringType())])
+    stream = (spark.readStream.schema(schema).json(str(src))
+              .select(F.col("user_id").cast("long").alias("user_id"),
+                      F.col("ts").cast("timestamp").alias("ts")))
+    out = sessionize_stream_event_time(stream, "user_id", "ts",
+                                       gap_sec=1.0, watermark="2 seconds")
+    q = (out.writeStream.format("memory").queryName("sessions_us")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:   # advance the watermark
+            f.write(json.dumps({"user_id": 1,
+                                "ts": "2024-06-01T11:00:00"}) + "\n")
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "select * from sessions_us order by session_start").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        got = [(r.session_start.isoformat(), r.session_end.isoformat(),
+                r.n_events) for r in rows]
+        assert got == [("2024-06-01T10:00:00.000001",
+                        "2024-06-01T10:00:01.000001", 2),
+                       ("2024-06-01T10:00:02.000002",
+                        "2024-06-01T10:00:02.000002", 1)]
+
+        bdf = spark.createDataFrame([(1, t) for t in evs], ["user_id", "ts"]) \
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        batch = sorted((b.session_start.isoformat(), b.session_end.isoformat(),
+                        b.n_events)
+                       for b in sessionize_batch(bdf, "user_id", "ts",
+                                                 1.0).collect())
+        assert got == batch
+    finally:
+        q.stop()
+
+
 def test_sessionize_skew_guarded_randomized(spark):
     """Seeded randomized equivalence: 6 random corpora (mixed hot/cold
     keys, gap-straddling timestamps, ties) — the guarded path must equal
