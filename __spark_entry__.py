@@ -789,6 +789,79 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", token_count_bpe(docs))
 
 
+_INCREMENTAL_ORACLE = r"""
+    WITH old AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    new AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 1
+    ),
+    fps AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM new
+    )
+    SELECT f.doc_id FROM fps f
+    WHERE f.fp NOT IN (SELECT fp FROM old)
+      AND f.doc_id = (SELECT min(doc_id) FROM fps f2 WHERE f2.fp = f.fp)
+"""
+
+
+def _incremental_slices(spark: SparkSession, sf_dir: str):
+    """Old/new corpus split for the day-2 incremental dedup rows: the
+    even-keyed half is the PRIOR run (only its store artifact is used);
+    the new crawl = the odd half + re-keyed copies of even docs (pure
+    cross-run duplicates — every one must drop) + re-keyed copies of odd
+    docs (within-batch duplicates — the original min key survives)."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "text"))
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = (d.filter(F.col("doc_id") % 2 == 1)
+           .unionAll(d.filter(F.col("doc_id") % 10 == 0)
+                     .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                             "text"))
+           .unionAll(d.filter(F.col("doc_id") % 10 == 1)
+                     .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                             "text")))
+    return old, new
+
+
+def q_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental exact dedup (ops/incremental.py): new rows
+    drop when their fingerprint exists in the prior run's persisted
+    store; surviving within-batch groups keep min doc_id. The oracle
+    re-derives both rules from raw text in SQL."""
+    from gojsonschema_spark.ops import incremental as inc
+
+    old, new = _incremental_slices(spark, sf_dir)
+    store = inc.fingerprint_store(old)
+    return inc.exact_dedup_incremental(new, store).select("doc_id")
+
+
+def q_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup against a persisted MinHash signature
+    store in confirm_exact mode (ops/incremental.py): candidates come
+    from the full signature pipeline (sign -> band -> bucket equi-join
+    against the store) and confirm on the store's fp column — recall at
+    identity is 1.0 by construction, the fp kills every J<1 lane
+    collision (this corpus has organic J~0.98 pairs that DO collide on
+    all 64 lanes), so the md5-based incremental SQL is a true oracle
+    for the whole candidate path. The estimator mode (threshold < 1.0,
+    no fp) is exercised by pytest instead — its verdicts are
+    probabilistic by design and not SQL-derivable."""
+    from gojsonschema_spark.ops import incremental as inc
+
+    old, new = _incremental_slices(spark, sf_dir)
+    store = inc.signature_store(old, num_hashes=64, k=3)
+    return (inc.minhash_dedup_incremental(new, store, num_hashes=64,
+                                          bands=16, confirm_exact=True)
+            .select("doc_id"))
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -920,6 +993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_items": q_frequent_items,
         "semi_anti_orders": q_semi_anti_orders,
         "repetition_ngrams": q_repetition_ngrams,
+        # round-5 additions: day-2 cross-run incremental dedup
+        "exact_dedup_incremental": q_exact_dedup_incremental,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
     }
 
 
@@ -1434,5 +1510,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM r WHERE k = 2 AND doc_id % 4 <> 0
             ) WHERE n > 0
         """,
+        # day-2 incremental dedup: the new crawl keeps a row iff its
+        # normalized-text fp is absent from the prior run's store AND it
+        # is the min-keyed member of its within-batch fp group. The
+        # minhash row shares this oracle: at threshold 1.0 a drop needs
+        # all 64 lanes equal == normalized-text identity on this corpus.
+        "exact_dedup_incremental": _INCREMENTAL_ORACLE,
+        "minhash_dedup_incremental": _INCREMENTAL_ORACLE,
     })
     return out

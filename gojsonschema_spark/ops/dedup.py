@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text import normalize_text, tokenize
 
 __all__ = ["exact_duplicates", "exact_dedup_keep_canonical", "shingles",
-           "minhash_signatures",
+           "minhash_signatures", "band_buckets",
            "minhash_lsh_pairs", "simhash", "ngram_jaccard_pairs",
            "embedding_near_dups", "lsh_embedding_near_dups",
            "duplicate_paragraphs", "contamination_check",
@@ -134,6 +134,34 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 
 
+def band_buckets(sigs: DataFrame, num_hashes: int = 64,
+                 bands: int = 16) -> DataFrame:
+    """Banded-LSH bucket assignment over MinHash signatures: one
+    (k, band, bucket) row per band, bucket = xxhash64 of the band's
+    signature slice. Shared by :func:`minhash_lsh_pairs` and the
+    cross-run incremental path (ops/incremental.py) so a persisted
+    signature store buckets IDENTICALLY to a fresh corpus — bucket ids
+    are stable across runs by construction (pure hash of the
+    signature)."""
+    rows_per_band = num_hashes // bands
+    with_sig = sigs.select(
+        "k", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return (with_sig.select(
+        "k",
+        F.explode(F.transform(
+            band_idx,
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice("sig", b * rows_per_band + 1,
+                                             rows_per_band),
+                                     lambda x: x.cast("string"))),
+                ).alias("bucket")))).alias("bb"))
+        .select("k", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket")))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       key_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, k: int = 3,
@@ -146,22 +174,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     is computed by a cheap partial-agg count and broadcast as an
     anti-join dim, so no reducer ever materializes a degenerate
     bucket's array — the previous collect-then-filter built it first."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, key_col, num_hashes, k)
-    with_sig = sigs.select(
-        "k", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = with_sig.select(
-        "k",
-        F.explode(F.transform(
-            band_idx,
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                     lambda x: x.cast("string"))),
-                ).alias("bucket")))).alias("bb"),
-    ).select("k", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_buckets(sigs, num_hashes, bands)
     oversized = (banded.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("__n"))
                  .filter(F.col("__n") > max_bucket)

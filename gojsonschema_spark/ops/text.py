@@ -71,9 +71,33 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
-def language_id(text: Column) -> Column:
-    """Marker-count language heuristic: the language whose stopword markers
-    occur most often in the text ('und' = unknown on ties at zero)."""
+def language_id(text: Column, scorer=None) -> Column:
+    """Language identification for a text column.
+
+    Default: the marker-count heuristic — the language whose stopword
+    markers occur most often in the text ('und' = unknown on ties at
+    zero). Deterministic, zero-shuffle, JVM-side — and honestly NOT a
+    real LID model (5 languages, stopword markers only).
+
+    ``scorer`` injects a real model (mirroring ops/multimodal's
+    ``decoder=`` pattern): a callable ``pandas.Series[str] ->
+    pandas.Series[str]`` of language codes, executed as an Arrow-batched
+    pandas UDF — e.g. a fastText wrapper whose model file each executor
+    loads once (keep the load lazy inside the callable, or ship weights
+    via ``SparkContext.broadcast``). The UDF is marked nondeterministic
+    so Catalyst never clones it below a filter (the r3 optimizer trap:
+    InferFiltersFromGenerate re-ran cloned Python eval nodes over the
+    whole corpus)."""
+    if scorer is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        def _score(s):
+            import pandas as pd
+            out = scorer(s)
+            return out if isinstance(out, pd.Series) else pd.Series(list(out))
+
+        udf = pandas_udf(_score, "string").asNondeterministic()
+        return udf(text)
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     scores = []
     for lang, markers in _LANG_MARKERS.items():
@@ -316,7 +340,8 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> Column:
 
 
 def temperature_fractions(df: DataFrame, group_col: str,
-                          temperature: float) -> dict:
+                          temperature: float,
+                          max_groups: int = 10_000) -> dict:
     """Per-group sampling fractions for temperature-based corpus mixing
     (the standard LLM data-mix reweighting: target share ~ p^(1/T);
     T=1 keeps the natural mix, T->inf approaches uniform).
@@ -324,8 +349,21 @@ def temperature_fractions(df: DataFrame, group_col: str,
     Returns {group: fraction-to-KEEP} scaled so the largest fraction is
     1.0 (pure downsampling — without-replacement sampleBy cannot
     upsample; feed the fractions to :func:`temperature_resample`).
-    Driver-side state is one row per group."""
-    rows = df.groupBy(group_col).count().collect()
+    Driver-side state is one row per group — the intended use is
+    SOURCE mixing (tens of groups: lang, domain, crawl snapshot).
+    ``max_groups`` guards against accidentally passing a
+    high-cardinality column (url, doc_id): the count is collected
+    through a LIMIT so the driver never materializes more than
+    ``max_groups + 1`` rows, and exceeding the bound raises instead of
+    silently building a multi-GB fraction dict the sampleBy plan would
+    then ship to every task."""
+    rows = df.groupBy(group_col).count().limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"temperature_fractions: {group_col!r} has more than "
+            f"{max_groups} distinct groups — this operator is for "
+            f"source-level mixing (tens of groups); pass a coarser "
+            f"group column or raise max_groups explicitly")
     total = sum(r["count"] for r in rows) or 1
     inv_t = 1.0 / float(temperature)
     weights = {r[group_col]: (r["count"] / total) ** inv_t for r in rows}
@@ -339,11 +377,14 @@ def temperature_fractions(df: DataFrame, group_col: str,
 
 
 def temperature_resample(df: DataFrame, group_col: str, temperature: float,
-                         seed: int = 7) -> DataFrame:
+                         seed: int = 7,
+                         max_groups: int = 10_000) -> DataFrame:
     """Deterministic stratified resample of ``df`` to the temperature-T
-    mix: one count pass (driver holds |groups| fractions), then a single
+    mix: one count pass (driver holds |groups| fractions, bounded by
+    ``max_groups`` — see :func:`temperature_fractions`), then a single
     map-side ``sampleBy`` — no shuffle of data rows."""
-    fractions = temperature_fractions(df, group_col, temperature)
+    fractions = temperature_fractions(df, group_col, temperature,
+                                      max_groups=max_groups)
     return df.sampleBy(group_col, fractions, seed=seed)
 
 

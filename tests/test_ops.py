@@ -359,6 +359,80 @@ def test_embedding_near_dups_exact_and_lsh(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_random_hyperplanes_recall(spark):
+    """Seeded hyperplane generator: deterministic per seed, and measured
+    recall of the LSH near-dup path vs the exact op is high at few
+    planes and monotone non-increasing as planes grow (each plane
+    splits buckets further)."""
+    import random
+
+    from gojsonschema_spark.ops.similarity import random_hyperplanes
+
+    assert random_hyperplanes(8, 4, seed=3) == random_hyperplanes(8, 4, seed=3)
+    assert random_hyperplanes(8, 4, seed=3) != random_hyperplanes(8, 4, seed=4)
+
+    rnd = random.Random(23)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(60)]
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(base)]
+    # planted near-dups: small perturbation keeps cosine >= ~0.995
+    rows += [Row(vec_id=1000 + i,
+                 embedding=[x + rnd.gauss(0, 0.02) for x in v])
+             for i, v in enumerate(base) if i % 3 == 0]
+    df = spark.createDataFrame(rows)
+
+    truth = {(r.a, r.b) for r in
+             dd.embedding_near_dups(df, threshold=0.99).collect()}
+    assert truth  # the planted pairs survive the exact op
+
+    def recall(n_planes):
+        planes = random_hyperplanes(16, n_planes, seed=5)
+        got = {(r.a, r.b) for r in dd.lsh_embedding_near_dups(
+            df, planes, threshold=0.99).collect()}
+        assert got <= truth  # verify stage kills false positives
+        return len(got & truth) / len(truth)
+
+    r4, r12 = recall(4), recall(12)
+    assert r4 >= 0.9
+    assert r4 >= r12
+
+
+def test_language_id_scorer_injection(spark):
+    """language_id(scorer=...) routes through an Arrow-batched pandas
+    UDF (never row-at-a-time) so a real LID model can replace the
+    marker heuristic without touching callers."""
+    calls = []
+
+    def fake_model(s):
+        calls.append(len(s))
+        return s.str.slice(0, 2).str.lower()
+
+    df = spark.createDataFrame(
+        [(1, "ENGLISH text"), (2, "DEutsch text")], ["doc_id", "text"])
+    out = df.select("doc_id",
+                    tx.language_id(F.col("text"), scorer=fake_model)
+                    .alias("lang"))
+    assert {(r.doc_id, r.lang) for r in out.collect()} == \
+        {(1, "en"), (2, "de")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_temperature_fractions_cardinality_guard(spark):
+    """Passing a high-cardinality column (url, doc_id) raises instead of
+    collecting one fraction per row to the driver; the LIMIT bounds the
+    collected rows themselves."""
+    from gojsonschema_spark.ops.text import temperature_fractions
+
+    df = spark.createDataFrame([(i, f"g{i}") for i in range(100)],
+                               ["doc_id", "g"])
+    with pytest.raises(ValueError, match="distinct groups"):
+        temperature_fractions(df, "g", 2.0, max_groups=10)
+    # coarse columns keep working under the default guard
+    coarse = df.withColumn("src", (F.col("doc_id") % 3).cast("string"))
+    fr = temperature_fractions(coarse, "src", 2.0)
+    assert set(fr) == {"0", "1", "2"} and max(fr.values()) == 1.0
+
+
 def test_sketch_paths_within_tolerance(spark):
     """The 100 TB variants (HLL distinct, approx_percentile sketch) gated
     against their exact counterparts with error bands — these are the
@@ -979,6 +1053,101 @@ def test_preprocess_corpus_exact_dedup_large_group(spark):
     out = preprocess_corpus(df, cfg)
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [0] + [1000 + i for i in range(7)]
+
+
+def test_exact_dedup_incremental(spark):
+    """Day-2 exact dedup vs a persisted fingerprint store: new rows
+    whose text is already stored drop; within-batch duplicate groups
+    keep their min key; everything else passes untouched."""
+    from gojsonschema_spark.ops.incremental import (exact_dedup_incremental,
+                                                    fingerprint_store)
+
+    old = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"])
+    store = fingerprint_store(old)
+    assert store.columns == ["fp"] and store.count() == 2
+
+    new = spark.createDataFrame(
+        [(10, "Seen   BEFORE"),        # normalizes to a stored fp -> drop
+         (11, "brand new text"),
+         (12, "brand new text"),       # within-batch dup -> keep 11 only
+         (13, "another fresh one")], ["doc_id", "text"])
+    out = exact_dedup_incremental(new, store)
+    assert out.columns == ["doc_id", "text"]
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    # run N+1: appending the survivors' fps makes them "old"
+    store2 = store.unionAll(fingerprint_store(out)).distinct()
+    again = exact_dedup_incremental(new, store2)
+    assert again.count() == 0
+
+
+def test_minhash_dedup_incremental(spark):
+    """Day-2 near-dup dedup vs a persisted signature store: signature
+    lane-match at threshold 1.0 drops new copies of stored docs and
+    within-batch copies (min key survives); an empty store reduces to
+    within-batch behavior; a lower threshold catches near (not
+    identical) texts."""
+    from gojsonschema_spark.ops.dedup import minhash_signatures
+    from gojsonschema_spark.ops.incremental import minhash_dedup_incremental
+
+    t_old = "the quick brown fox jumps over the lazy dog near the river bank"
+    t_new = "completely different content about spark shuffles and joins ok"
+    old = spark.createDataFrame([(1, t_old)], ["doc_id", "text"])
+    store = minhash_signatures(old, num_hashes=32, k=3)
+
+    new = spark.createDataFrame(
+        [(10, t_old),                     # matches the store -> drop
+         (11, t_new), (12, t_new),        # within-batch dup -> keep 11
+         (13, "yet another unique doc about watermarks and state")],
+        ["doc_id", "text"])
+    out = minhash_dedup_incremental(new, store, num_hashes=32, bands=8)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+
+    # empty store == within-batch only
+    empty = store.limit(0)
+    out2 = minhash_dedup_incremental(new, empty, num_hashes=32, bands=8)
+    assert sorted(r.doc_id for r in out2.collect()) == [10, 11, 13]
+
+    # near-duplicate (one word changed) at a permissive threshold
+    near = spark.createDataFrame(
+        [(20, t_old.replace("lazy", "sleepy"))], ["doc_id", "text"])
+    kept_strict = minhash_dedup_incremental(near, store, num_hashes=32,
+                                            bands=8, threshold=1.0)
+    kept_loose = minhash_dedup_incremental(near, store, num_hashes=32,
+                                           bands=8, threshold=0.5)
+    assert kept_strict.count() == 1   # not byte-identical
+    assert kept_loose.count() == 0    # but well over 0.5 estimated Jaccard
+
+
+def test_minhash_dedup_incremental_confirm_exact(spark):
+    """confirm_exact mode: candidates still come from the LSH path, but
+    only fp-identical (normalized byte-identical) matches drop — a
+    lane-colliding near-dup survives, and a store without fp raises."""
+    from gojsonschema_spark.ops.dedup import minhash_signatures
+    from gojsonschema_spark.ops.incremental import (
+        minhash_dedup_incremental, signature_store)
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = spark.createDataFrame([(1, t)], ["doc_id", "text"])
+    store = signature_store(old, num_hashes=32, k=3)
+    assert "fp" in store.columns
+
+    new = spark.createDataFrame(
+        [(10, "ALPHA  beta gamma delta epsilon zeta eta theta iota kappa"),
+         # same shingle multiset minus one word: near-dup, NOT identical
+         (11, t.replace("kappa", "lambda")),
+         (12, "totally unrelated text here")], ["doc_id", "text"])
+    out = minhash_dedup_incremental(new, store, num_hashes=32, bands=8,
+                                    confirm_exact=True)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 12]
+
+    bare = minhash_signatures(old, num_hashes=32, k=3)
+    with pytest.raises(ValueError, match="fp"):
+        minhash_dedup_incremental(new, bare, num_hashes=32, bands=8,
+                                  confirm_exact=True)
 
 
 def test_preprocess_corpus_facade(spark):
