@@ -235,6 +235,14 @@ def bench_queries(spark) -> dict[str, float]:
 
     run("pipeline_e2e", run_pipe, reps=2)
     spark.catalog.clearCache()  # no cache donation to later queries
+    # day-2 incremental dedup (r5): new crawl = the page corpus, store =
+    # fingerprints of a half-overlapping prior crawl — measures the
+    # digest anti-join + min-key survivor at the full page count
+    from gojsonschema_spark.ops import incremental as inc
+    prior = staged.filter(F.xxhash64("url") % 2 == 0)
+    run("dedup_incremental_exact", lambda: inc.exact_dedup_incremental(
+        staged, inc.fingerprint_store(prior))
+        .agg(F.count(F.lit(1))).collect(), reps=2)
     # batch sessionization over the SF events table (window path)
     from gojsonschema_spark.spark.streaming import sessionize_batch
     events_sf = spark.read.parquet(f"{SF_DIR}/events.parquet")

@@ -63,7 +63,10 @@ def exact_dedup_incremental(new_df: DataFrame, store: DataFrame,
     groups. No driver-side state, nothing collected."""
     fp = F.md5(normalize_text(F.col(text_col)))
     keyed = new_df.withColumn("__fp", fp)
-    store_fps = store.select(F.col(fp_col).alias("__fp")).distinct()
+    # no .distinct() on the store: LEFT ANTI ignores duplicate build
+    # keys, and de-duplicating a 10^12-row store would be a full extra
+    # shuffle for nothing (fingerprint_store is distinct by construction)
+    store_fps = store.select(F.col(fp_col).alias("__fp"))
     fresh = keyed.join(store_fps, "__fp", "left_anti")
     canon = fresh.groupBy("__fp").agg(F.min(key_col).alias("__canon"))
     return (fresh.join(canon, "__fp")

@@ -4,9 +4,10 @@ run actually executes, wired from the individual operators.
 ``preprocess_corpus`` chains (each stage optional via config):
 
     schema validation -> per-host boilerplate strip -> PII redaction ->
-    dedup (exact or MinHash-LSH + Jaccard verify + cluster resolution) ->
-    composite Gopher quality gate -> temperature-T mixing ->
-    token-budget sequence packing
+    dedup (exact or MinHash-LSH + Jaccard verify + cluster resolution;
+    optionally INCREMENTAL against a persisted day-2 store via
+    ``dedup_store``) -> composite Gopher quality gate ->
+    temperature-T mixing -> token-budget sequence packing
 
 Everything stays lazy — one DataFrame in, one DataFrame out; the caller
 triggers execution with its own action (usually a checkpointed write via
@@ -51,6 +52,10 @@ class PipelineConfig:
     minhash_num_hashes: int = 64
     minhash_bands: int = 16
     jaccard_threshold: float = 0.9
+    # day-2 incremental mode: a persisted store DataFrame from prior runs
+    # (fingerprint_store output for dedup="exact", signature_store output
+    # for dedup="minhash"); rows already in the store are dropped too
+    dedup_store: object | None = None   # DataFrame; None = single-corpus
 
     # stage 4: composite Gopher quality gate
     quality: bool = True
@@ -127,22 +132,37 @@ def preprocess_corpus(df: DataFrame,
     if cfg.dedup in ("exact", "minhash"):
         df = fork_point(df)  # consumed by the group/pair side + main
     if cfg.dedup == "exact":
-        # direct min-key survivor per fingerprint — exact at ANY group
-        # size (the r4 exemplar-capped pair route under-deduplicated
-        # groups with >64 members: the very degenerate clusters exact
-        # dedup exists for), and one shuffle cheaper (no pair explosion,
-        # no transitive closure — byte-identical groups are cliques)
-        df = exact_dedup_keep_canonical(df, text_col=text,
-                                        key_col=cfg.key_col)
+        if cfg.dedup_store is not None:
+            # day-2: drop rows whose fp is in the persisted store, then
+            # the same within-batch min-key rule
+            from .incremental import exact_dedup_incremental
+            df = exact_dedup_incremental(df, cfg.dedup_store,
+                                         text_col=text, key_col=cfg.key_col)
+        else:
+            # direct min-key survivor per fingerprint — exact at ANY
+            # group size (the r4 exemplar-capped pair route
+            # under-deduplicated groups with >64 members: the very
+            # degenerate clusters exact dedup exists for), and one
+            # shuffle cheaper (no pair explosion, no transitive closure
+            # — byte-identical groups are cliques)
+            df = exact_dedup_keep_canonical(df, text_col=text,
+                                            key_col=cfg.key_col)
     elif cfg.dedup == "minhash":
-        cand = minhash_lsh_pairs(df, text_col=text, key_col=cfg.key_col,
-                                 num_hashes=cfg.minhash_num_hashes,
-                                 bands=cfg.minhash_bands)
-        pairs = ngram_jaccard_pairs(df, cand, text_col=text,
-                                    key_col=cfg.key_col,
-                                    threshold=cfg.jaccard_threshold)
-        df = dedup_keep_canonical(df, pairs, key_col=cfg.key_col,
-                                  key_a="key_a", key_b="key_b")
+        if cfg.dedup_store is not None:
+            from .incremental import minhash_dedup_incremental
+            df = minhash_dedup_incremental(
+                df, cfg.dedup_store, text_col=text, key_col=cfg.key_col,
+                num_hashes=cfg.minhash_num_hashes, bands=cfg.minhash_bands,
+                confirm_exact="fp" in cfg.dedup_store.columns)
+        else:
+            cand = minhash_lsh_pairs(df, text_col=text, key_col=cfg.key_col,
+                                     num_hashes=cfg.minhash_num_hashes,
+                                     bands=cfg.minhash_bands)
+            pairs = ngram_jaccard_pairs(df, cand, text_col=text,
+                                        key_col=cfg.key_col,
+                                        threshold=cfg.jaccard_threshold)
+            df = dedup_keep_canonical(df, pairs, key_col=cfg.key_col,
+                                      key_a="key_a", key_b="key_b")
     elif cfg.dedup != "none":
         raise ValueError(f"unknown dedup mode {cfg.dedup!r}")
 

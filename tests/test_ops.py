@@ -1036,6 +1036,27 @@ def test_exact_dedup_keep_canonical(spark):
     assert kept == [(1, "z"), (2, "w"), (5, "y")]
 
 
+def test_preprocess_corpus_incremental_store(spark):
+    """The facade's day-2 mode: dedup_store routes the exact stage
+    through exact_dedup_incremental — rows already fingerprinted in a
+    prior run drop in addition to within-batch duplicates."""
+    from gojsonschema_spark.ops.incremental import fingerprint_store
+    from gojsonschema_spark.ops.pipeline import (PipelineConfig,
+                                                 preprocess_corpus)
+
+    prior = spark.createDataFrame([(1, "seen last run")], ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(10, "seen last run"),      # in the store -> drop
+         (11, "fresh page body"),
+         (12, "fresh page body"),    # within-batch -> keep 11
+         (13, "another fresh page")], ["doc_id", "text"])
+    cfg = PipelineConfig(boilerplate=False, redact=False, dedup="exact",
+                         dedup_store=fingerprint_store(prior),
+                         quality=False, pack_budget=None)
+    out = preprocess_corpus(df, cfg)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+
+
 def test_preprocess_corpus_exact_dedup_large_group(spark):
     """r4 judge finding: the facade's exact route derived dedup edges
     from exact_duplicates' 64-exemplar cap, so a >64-member duplicate
