@@ -18,7 +18,7 @@ Typical use::
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
+from pyspark.sql.types import (LongType, StructField, StructType,
                                TimestampType)
 
 from .engine import SparkValidator
@@ -81,7 +81,10 @@ def sessionize_stream(df: DataFrame, key_col: str = "user_id",
     event in the same group exceeds the gap, or when the processing-time
     timeout fires for an idle group. State per key is three scalars
     (start, last, count): bounded regardless of session length, so a
-    degenerate key (bot traffic) cannot grow executor state.
+    degenerate key (bot traffic) cannot grow executor state. State
+    timestamps are integer MICROSECONDS like the event-time twin's (r5):
+    float64 epoch seconds have ~0.5us resolution at current epochs, so
+    exact gap-boundary comparisons could flip vs sessionize_batch.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -93,11 +96,11 @@ def sessionize_stream(df: DataFrame, key_col: str = "user_id",
         StructField("n_events", LongType()),
     ])
     state_schema = StructType([
-        StructField("start", DoubleType()),
-        StructField("last", DoubleType()),
+        StructField("start", LongType()),
+        StructField("last", LongType()),
         StructField("n", LongType()),
     ])
-    gap = float(gap_sec)
+    gap_us = int(round(float(gap_sec) * 1_000_000))
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -105,8 +108,8 @@ def sessionize_stream(df: DataFrame, key_col: str = "user_id",
         def session_row(start, last, n):
             return pd.DataFrame({
                 key_col: [key[0]],
-                "session_start": [pd.Timestamp(start, unit="s")],
-                "session_end": [pd.Timestamp(last, unit="s")],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
                 "n_events": [n],
             })
 
@@ -117,7 +120,7 @@ def sessionize_stream(df: DataFrame, key_col: str = "user_id",
             return
 
         rows = pd.concat(list(pdfs))
-        ts = (rows[ts_col].astype("int64") / 1e9).sort_values()
+        ts = (rows[ts_col].astype("int64") // 1000).sort_values()  # ns -> us
         if state.exists:
             start, last, n = state.get
         else:
@@ -125,15 +128,15 @@ def sessionize_stream(df: DataFrame, key_col: str = "user_id",
             n = 0
         closed = []
         for t in ts:
-            if last is not None and t - last > gap:
+            if last is not None and t - last > gap_us:
                 closed.append((start, last, n))
                 start, n = None, 0
             if start is None:
                 start = t
             last = t
             n += 1
-        state.update((float(start), float(last), int(n)))
-        state.setTimeoutDuration(int(gap * 1000))
+        state.update((int(start), int(last), int(n)))
+        state.setTimeoutDuration(int(gap_us // 1000))
         for s in closed:
             yield session_row(*s)
 
