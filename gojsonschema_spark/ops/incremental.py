@@ -2,7 +2,7 @@
 PERSISTED store from previous runs — the day-2 shape every production
 pipeline actually executes (single-corpus dedup is day 1 only).
 
-Two store granularities, matching the single-corpus operators:
+Three store granularities, matching the single-corpus operators:
 
 * **fingerprint store** — distinct md5(normalized text) digests; exact
   membership. 16 bytes/doc: 10^12 documents persist as ~16 TB of
@@ -14,6 +14,9 @@ Two store granularities, matching the single-corpus operators:
   ~0.5 KB/doc at 64 hashes. Bucket ids are pure hashes of the signature
   (dedup.band_buckets), so a store persisted last month buckets
   IDENTICALLY to today's crawl — no co-training, no global state.
+* **simhash store** — one 64-bit sketch per document (8 bytes/doc);
+  Hamming-distance near-dup membership via the Manku pigeonhole block
+  join (:func:`simhash_dedup_incremental`).
 
 Both ops return the SURVIVING new rows (DataFrame in, DataFrame out,
 lazy); the caller appends the survivors' fingerprints/signatures to the
@@ -29,11 +32,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import band_buckets, minhash_signatures
+from .dedup import band_buckets, minhash_signatures, simhash
 from .text import normalize_text
 
 __all__ = ["fingerprint_store", "exact_dedup_incremental",
-           "signature_store", "minhash_dedup_incremental"]
+           "signature_store", "minhash_dedup_incremental",
+           "simhash_store", "simhash_dedup_incremental"]
 
 
 def fingerprint_store(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -183,6 +187,103 @@ def minhash_dedup_incremental(new_df: DataFrame, store_sigs: DataFrame,
                .join(new_sigs.alias("na"), nn_pairs.a == F.col("na.k"))
                .join(new_sigs.alias("oa"), nn_pairs.b == F.col("oa.k"))
                .filter(match)
+               .select(F.col("b").alias("loser")).distinct())
+
+    losers = vs_store.unionAll(nn_dups).distinct()
+    return new_df.join(losers, new_df[key_col] == losers["loser"],
+                       "left_anti")
+
+
+def simhash_store(df: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id") -> DataFrame:
+    """Persisted SimHash store: one (k, sim) row per document — 8 bytes
+    of sketch per doc, the cheapest near-dup store of the three. Feed to
+    :func:`simhash_dedup_incremental`."""
+    return df.select(F.col(key_col).alias("k"),
+                     simhash(F.col(text_col)).alias("sim"))
+
+
+def _simhash_blocks(sims: DataFrame, n_blocks: int) -> DataFrame:
+    """(k, blk, val) rows: the 64-bit simhash split into ``n_blocks``
+    contiguous bit blocks (widths as even as 64/n allows). Pure shifts —
+    no UDF."""
+    bounds = []
+    base, rem = divmod(64, n_blocks)
+    lo = 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        bounds.append((lo, w))
+        lo += w
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("blk"),
+            # logical right shift then mask: width<64 always, so the
+            # mask literal fits a signed long
+            F.shiftrightunsigned(F.col("sim"), lo)
+             .bitwiseAND(F.lit((1 << w) - 1)).alias("val"))
+        for i, (lo, w) in enumerate(bounds)])
+    return (sims.select("k", F.explode(blocks).alias("b"))
+            .select("k", F.col("b.blk").alias("blk"),
+                    F.col("b.val").alias("val")))
+
+
+def simhash_dedup_incremental(new_df: DataFrame, store: DataFrame,
+                              text_col: str = "text",
+                              key_col: str = "doc_id",
+                              max_hamming: int = 3,
+                              max_bucket: int = 100_000) -> DataFrame:
+    """Near-duplicate dedup of a new crawl against a persisted SimHash
+    store at Hamming distance <= ``max_hamming`` — the Manku/Jain/Sarma
+    (WWW 2007) web-dedup formulation, which Google ran at 8B pages with
+    d=3. A new document drops when some stored document's — or some
+    smaller-keyed new document's — simhash differs in at most
+    ``max_hamming`` bits.
+
+    Scale shape (pigeonhole block join): the 64-bit sketch splits into
+    ``max_hamming + 1`` contiguous blocks; two hashes within distance d
+    must agree EXACTLY on at least one block, so candidates come from an
+    equi-join on (block index, block value) — never an all-pairs scan —
+    and verify with one native ``bit_count(a ^ b)``. Each side explodes
+    to d+1 rows of (key, blk, 16-bit val); shuffles carry 20-byte
+    triples. ``max_bucket`` drops degenerate (blk, val) buckets (the
+    all-zeros block of empty-ish docs) exactly like the MinHash ops —
+    at d=3 each block holds 16 bits, so random 64-bit sketches spread
+    across 65k values per block and organic buckets stay small."""
+    new_sims = simhash_store(new_df, text_col, key_col)
+    n_blocks = max_hamming + 1
+    new_b = _simhash_blocks(new_sims, n_blocks)
+    old_b = _simhash_blocks(store, n_blocks)
+    oversized = (new_b.select("blk", "val")
+                 .unionAll(old_b.select("blk", "val"))
+                 .groupBy("blk", "val")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") > max_bucket)
+                 .select("blk", "val"))
+    new_b = new_b.join(F.broadcast(oversized), ["blk", "val"], "left_anti")
+    old_b = old_b.join(F.broadcast(oversized), ["blk", "val"], "left_anti")
+
+    within = F.bit_count(F.col("na.sim").bitwiseXOR(F.col("oa.sim"))) \
+        <= max_hamming
+
+    no_pairs = (new_b.select(F.col("k").alias("nk"), "blk", "val")
+                .join(old_b.select(F.col("k").alias("ok"), "blk", "val"),
+                      ["blk", "val"])
+                .select("nk", "ok").distinct())
+    vs_store = (no_pairs
+                .join(new_sims.alias("na"), no_pairs.nk == F.col("na.k"))
+                .join(store.alias("oa"), no_pairs.ok == F.col("oa.k"))
+                .filter(within)
+                .select(F.col("nk").alias("loser")).distinct())
+
+    nn_pairs = (new_b.select(F.col("k").alias("a"), "blk", "val")
+                .join(new_b.select(F.col("k").alias("b"), "blk", "val"),
+                      ["blk", "val"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+    nn_dups = (nn_pairs
+               .join(new_sims.alias("na"), nn_pairs.a == F.col("na.k"))
+               .join(new_sims.alias("oa"), nn_pairs.b == F.col("oa.k"))
+               .filter(within)
                .select(F.col("b").alias("loser")).distinct())
 
     losers = vs_store.unionAll(nn_dups).distinct()

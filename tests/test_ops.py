@@ -1036,6 +1036,56 @@ def test_exact_dedup_keep_canonical(spark):
     assert kept == [(1, "z"), (2, "w"), (5, "y")]
 
 
+def test_simhash_dedup_incremental(spark):
+    """Manku-style Hamming block join vs a persisted simhash store:
+    results must equal the brute-force all-pairs reference (pigeonhole:
+    any pair within d bits agrees exactly on one of d+1 blocks, so the
+    block equi-join loses no candidate), with the planted exact copy
+    dropped and an unrelated doc kept."""
+    from gojsonschema_spark.ops.incremental import (simhash_dedup_incremental,
+                                                    simhash_store)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "river bank erodes slowly under heavy spring rain today")
+    old = spark.createDataFrame(
+        [(1, base),
+         (2, "an entirely different report about database join strategies "
+             "and shuffle partition sizing for large clusters")],
+        ["doc_id", "text"])
+    store = simhash_store(old)
+
+    new = spark.createDataFrame(
+        [(10, base),                                   # exact copy
+         (11, base.replace("lazy", "sleepy")),          # near copy
+         (12, "unrelated musings on sourdough hydration ratios and "
+              "oven spring with a dutch oven preheat"),
+         (13, "unrelated musings on sourdough hydration ratios and "
+              "oven spring with a dutch oven preheat"),  # within-batch dup
+         (14, "completely fresh subject matter nine planets orbit data")],
+        ["doc_id", "text"])
+    d = 3
+    out = sorted(r.doc_id for r in
+                 simhash_dedup_incremental(new, store,
+                                           max_hamming=d).collect())
+
+    # brute-force reference over the actual sketches
+    old_sims = [r.sim for r in store.collect()]
+    new_sims = {r.k: r.sim for r in simhash_store(new).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    losers = {k for k, s in new_sims.items()
+              if any(ham(s, o) <= d for o in old_sims)
+              or any(ham(s, new_sims[j]) <= d for j in new_sims if j < k)}
+    assert out == sorted(set(new_sims) - losers)
+    assert 10 in losers and 13 in losers          # exact + within-batch
+    assert 14 in set(out)                          # fresh doc survives
+    plan = simhash_dedup_incremental(new, store, max_hamming=d) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_preprocess_corpus_incremental_store(spark):
     """The facade's day-2 mode: dedup_store routes the exact stage
     through exact_dedup_incremental — rows already fingerprinted in a
