@@ -862,6 +862,36 @@ def q_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id"))
 
 
+def q_embedding_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run embedding near-dup dedup vs a persisted vector store
+    (ops/incremental.py::embedding_dedup_incremental): even-keyed
+    vectors are the prior run; the new batch = odd vectors + 1.001x
+    scalar copies of even bases (cosine exactly 1 vs the store -> drop)
+    + 1.001x copies of odd bases (within-batch, base key smaller ->
+    drop). Oracle = brute-force all-pairs NOT EXISTS on the same rounded
+    cosine; sound because a positive scalar multiple preserves every
+    hyperplane sign bit (guaranteed bucket collision) and the max
+    organic cosine between distinct base vectors at these SFs is ~0.51,
+    far under the 0.99 threshold."""
+    from gojsonschema_spark.ops import incremental as inc
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    bump = F.transform(v, lambda x: x * 1.001)
+    old = e.filter(F.col("vec_id") % 2 == 0).select("vec_id", v.alias("embedding"))
+    new = (e.filter(F.col("vec_id") % 2 == 1)
+           .select("vec_id", v.alias("embedding"))
+           .unionAll(e.filter(F.col("vec_id") % 20 == 0)
+                     .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                             bump.alias("embedding")))
+           .unionAll(e.filter(F.col("vec_id") % 20 == 1)
+                     .select((F.col("vec_id") + 2000000).alias("vec_id"),
+                             bump.alias("embedding"))))
+    planes = sim.random_hyperplanes(64, 8, seed=7)
+    return (inc.embedding_dedup_incremental(new, old, planes, threshold=0.99)
+            .select("vec_id"))
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -996,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions: day-2 cross-run incremental dedup
         "exact_dedup_incremental": q_exact_dedup_incremental,
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "embedding_dedup_incremental": q_embedding_dedup_incremental,
     }
 
 
@@ -1517,5 +1548,34 @@ def oracle_sql() -> dict[str, str]:
         # all 64 lanes equal == normalized-text identity on this corpus.
         "exact_dedup_incremental": _INCREMENTAL_ORACLE,
         "minhash_dedup_incremental": _INCREMENTAL_ORACLE,
+        "embedding_dedup_incremental": """
+            WITH old AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 2 = 0
+            ), new AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 2 = 1
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+                FROM embeddings WHERE vec_id % 20 = 0
+                UNION ALL
+                SELECT vec_id + 2000000,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+                FROM embeddings WHERE vec_id % 20 = 1
+            )
+            SELECT n.vec_id FROM new n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM old o
+                WHERE round(list_dot_product(n.v, o.v) /
+                      (greatest(sqrt(list_dot_product(n.v, n.v)), 1e-12) *
+                       greatest(sqrt(list_dot_product(o.v, o.v)), 1e-12)), 6) >= 0.99)
+              AND NOT EXISTS (
+                SELECT 1 FROM new m
+                WHERE m.vec_id < n.vec_id
+                  AND round(list_dot_product(n.v, m.v) /
+                      (greatest(sqrt(list_dot_product(n.v, n.v)), 1e-12) *
+                       greatest(sqrt(list_dot_product(m.v, m.v)), 1e-12)), 6) >= 0.99)
+        """,
     })
     return out

@@ -37,7 +37,8 @@ from .text import normalize_text
 
 __all__ = ["fingerprint_store", "exact_dedup_incremental",
            "signature_store", "minhash_dedup_incremental",
-           "simhash_store", "simhash_dedup_incremental"]
+           "simhash_store", "simhash_dedup_incremental",
+           "embedding_dedup_incremental"]
 
 
 def fingerprint_store(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -190,6 +191,65 @@ def minhash_dedup_incremental(new_df: DataFrame, store_sigs: DataFrame,
                .select(F.col("b").alias("loser")).distinct())
 
     losers = vs_store.unionAll(nn_dups).distinct()
+    return new_df.join(losers, new_df[key_col] == losers["loser"],
+                       "left_anti")
+
+
+def embedding_dedup_incremental(new_df: DataFrame, store_df: DataFrame,
+                                planes: list[list[float]],
+                                threshold: float = 0.99,
+                                vec_col: str = "embedding",
+                                key_col: str = "vec_id",
+                                round_to: int = 6,
+                                max_bucket: int = 5000) -> DataFrame:
+    """Embedding-cosine near-dup dedup of new vectors against a
+    PERSISTED vector store (the store IS the historical embedding table
+    — vectors are their own verify payload, unlike the text ops). A new
+    vector drops when its cosine (rounded to ``round_to``) reaches
+    ``threshold`` against any stored vector or any smaller-keyed new
+    vector.
+
+    Scale shape mirrors dedup.lsh_embedding_near_dups: both sides sign
+    with the SAME hyperplanes (signatures are pure functions of the
+    vector, so a store signed last month buckets identically — persist
+    the planes with the store, similarity.random_hyperplanes(seed=...)
+    regenerates them), candidates come from a signature equi-join with
+    the oversized-bucket deny-list computed over the union, and the
+    exact JVM-side cosine verifies. Near-identical vectors agree on
+    every sign bit with high probability (exactly 1 for positive scalar
+    multiples), so recall at the near-dup threshold is high and gated
+    in tests; shuffles carry (key, sig) pairs plus the bucket-local
+    vectors."""
+    from .dedup import _cosine
+    from .similarity import hyperplane_signature
+
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    new_s = new_df.select(F.col(key_col).alias("k"),
+                          F.col(vec_col).cast("array<double>").alias("v"),
+                          sig.alias("sig"))
+    old_s = store_df.select(F.col(key_col).alias("k"),
+                            F.col(vec_col).cast("array<double>").alias("v"),
+                            sig.alias("sig"))
+    oversized = (new_s.select("sig").unionAll(old_s.select("sig"))
+                 .groupBy("sig").agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") > max_bucket).select("sig"))
+    new_s = new_s.join(F.broadcast(oversized), "sig", "left_anti")
+    old_s = old_s.join(F.broadcast(oversized), "sig", "left_anti")
+
+    cos = F.round(_cosine(F.col("va"), F.col("vb")), round_to)
+    vs_store = (new_s.select("sig", F.col("k").alias("nk"),
+                             F.col("v").alias("va"))
+                .join(old_s.select("sig", F.col("k").alias("ok"),
+                                   F.col("v").alias("vb")), ["sig"])
+                .filter(cos >= threshold)
+                .select(F.col("nk").alias("loser")).distinct())
+    nn = (new_s.select("sig", F.col("k").alias("a"), F.col("v").alias("va"))
+          .join(new_s.select("sig", F.col("k").alias("b"),
+                             F.col("v").alias("vb")), ["sig"])
+          .filter(F.col("a") < F.col("b"))
+          .filter(cos >= threshold)
+          .select(F.col("b").alias("loser")).distinct())
+    losers = vs_store.unionAll(nn).distinct()
     return new_df.join(losers, new_df[key_col] == losers["loser"],
                        "left_anti")
 

@@ -1036,6 +1036,39 @@ def test_exact_dedup_keep_canonical(spark):
     assert kept == [(1, "z"), (2, "w"), (5, "y")]
 
 
+def test_embedding_dedup_incremental(spark):
+    """Vector near-dup dedup vs a persisted embedding store: scalar
+    multiples of stored vectors drop (sign-exact bucket collision),
+    within-batch copies keep the smaller key, orthogonal-ish vectors
+    survive; no cross product in the plan."""
+    import random
+
+    from gojsonschema_spark.ops.incremental import embedding_dedup_incremental
+    from gojsonschema_spark.ops.similarity import random_hyperplanes
+
+    rnd = random.Random(31)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    old = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(base)])
+    new_rows = [Row(vec_id=100 + i, embedding=[x * 1.001 for x in v])
+                for i, v in enumerate(base) if i % 5 == 0]       # vs store
+    fresh = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    new_rows += [Row(vec_id=200 + i, embedding=v)
+                 for i, v in enumerate(fresh)]
+    new_rows += [Row(vec_id=300, embedding=[x * 0.999 for x in fresh[0]])]
+    new = spark.createDataFrame(new_rows)
+
+    planes = random_hyperplanes(16, 6, seed=9)
+    out = embedding_dedup_incremental(new, old, planes, threshold=0.99)
+    kept = sorted(r.vec_id for r in out.collect())
+    # all store-copies drop; fresh vectors survive; 300 (copy of 200)
+    # loses to the smaller key
+    assert kept == [200, 201, 202, 203]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_dedup_incremental(spark):
     """Manku-style Hamming block join vs a persisted simhash store:
     results must equal the brute-force all-pairs reference (pigeonhole:
