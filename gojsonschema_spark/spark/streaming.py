@@ -26,7 +26,8 @@ from .engine import SparkValidator
 __all__ = ["validate_stream", "validate_stream_to_parquet",
            "windowed_invalid_rate", "sessionize_stream",
            "sessionize_stream_event_time", "sessionize_batch",
-           "sessionize_skew_guarded", "dedup_stream", "windowed_drift_kl"]
+           "sessionize_skew_guarded", "dedup_stream",
+           "dedup_stream_incremental", "windowed_drift_kl"]
 
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
@@ -399,6 +400,32 @@ def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
     ops/dedup.py::exact_duplicates."""
     return (df.withWatermark(ts_col, delay)
               .dropDuplicatesWithinWatermark(key_cols))
+
+
+def dedup_stream_incremental(df: DataFrame, store: DataFrame,
+                             text_col: str, ts_col: str,
+                             delay: str = "10 minutes",
+                             fp_col: str = "fp") -> DataFrame:
+    """Streaming twin of ops/incremental.py::exact_dedup_incremental:
+    drop stream rows whose normalized-text fingerprint exists in a
+    PERSISTED (static) fingerprint store, then first-arrival-wins within
+    the watermark horizon for stream-internal duplicates.
+
+    Shape: the fp computes map-side; the stream-static LEFT ANTI join is
+    stateless (Spark re-plans the static side per micro-batch, so a
+    day-2 run can point at the store table the previous batch job
+    appended to); only the within-stream stage keeps (bounded,
+    watermark-evicted) state. At 10^12 stored fps the static side is a
+    digest-only scan — AQE decides the join strategy per micro-batch,
+    nothing is force-broadcast."""
+    from ..ops.text import normalize_text
+
+    keyed = df.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
+    store_fps = store.select(F.col(fp_col).alias("__fp"))
+    fresh = keyed.join(store_fps, "__fp", "left_anti")
+    return (fresh.withWatermark(ts_col, delay)
+                 .dropDuplicatesWithinWatermark(["__fp"])
+                 .drop("__fp"))
 
 
 def windowed_drift_kl(stream_df: DataFrame, ts_col: str, col: str,

@@ -199,6 +199,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_incremental_vs_store(spark, tmp_path):
+    """dedup_stream_incremental: rows already fingerprinted in the
+    static store drop via the stream-static anti-join; stream-internal
+    duplicates keep the first arrival; fresh rows pass with all their
+    columns."""
+    from gojsonschema_spark.ops.incremental import fingerprint_store
+    from gojsonschema_spark.spark.streaming import dedup_stream_incremental
+
+    prior = spark.createDataFrame([(1, "seen last run")], ["doc_id", "text"])
+    store = fingerprint_store(prior)
+
+    src = tmp_path / "in_inc"
+    src.mkdir()
+    rows = [
+        {"url": "https://a.com", "text": "Seen   LAST run",     # in store
+         "ts": "2026-01-01T10:00:00"},
+        {"url": "https://b.com", "text": "fresh page one",
+         "ts": "2026-01-01T10:01:00"},
+        {"url": "https://c.com", "text": "fresh page one",      # stream dup
+         "ts": "2026-01-01T10:02:00"},
+        {"url": "https://d.com", "text": "fresh page two",
+         "ts": "2026-01-01T10:03:00"},
+    ]
+    with open(src / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (spark.readStream
+              .schema(StructType([StructField("url", StringType()),
+                                  StructField("text", StringType()),
+                                  StructField("ts", TimestampType())]))
+              .json(str(src)))
+    out = dedup_stream_incremental(stream, store, "text", "ts",
+                                   delay="30 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_inc")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(r.url for r in spark.sql("select * from dedup_inc").collect())
+        assert got == ["https://b.com", "https://d.com"]
+        cols = spark.sql("select * from dedup_inc").columns
+        assert cols == ["url", "text", "ts"]
+    finally:
+        q.stop()
+
+
 def test_streaming_windowed_drift_kl(spark, tmp_path):
     """Windowed KL drift vs a static baseline: the emitted window's value
     must equal the batch op's KL over the same slice (chained streaming
