@@ -14,8 +14,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 __all__ = ["cosine_to_query", "brute_force_topk", "random_hyperplanes",
            "hyperplane_signature",
            "lsh_bucketed_topk", "ivf_train", "ivf_assign", "ivf_topk",
-           "ivf_build_index", "ivf_probe_topk",
-           "lsh_build_index", "lsh_probe_topk"]
+           "ivf_build_index", "ivf_append_index", "ivf_probe_topk",
+           "lsh_build_index", "lsh_append_index", "lsh_probe_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -173,6 +173,36 @@ def ivf_build_index(df: DataFrame, centroids: list[list[float]], target: str,
     from ..io.tables import write_pages
     assigned = ivf_assign(df, centroids, vec_col, cell_col)
     write_pages(assigned, target, bucket_col=cell_col)
+
+
+def ivf_append_index(df: DataFrame, centroids: list[list[float]],
+                     target: str, vec_col: str = "embedding",
+                     cell_col: str = "ivf_cell") -> None:
+    """Day-2 index growth: assign NEW vectors with the EXISTING
+    centroids and APPEND their partitions to the persisted index — no
+    retrain, no rewrite of prior data. Probes keep pruning correctly
+    because the partition column is a pure function of (vector,
+    centroids); persist the centroids with the index and reuse them
+    here. Re-train (ivf_train + ivf_build_index) only when the
+    appended distribution drifts enough that cell occupancy skews —
+    the standard IVF operational contract."""
+    from ..io.tables import write_pages
+    assigned = ivf_assign(df, centroids, vec_col, cell_col)
+    write_pages(assigned, target, bucket_col=cell_col, mode="append")
+
+
+def lsh_append_index(df: DataFrame, planes: list[list[float]], target: str,
+                     vec_col: str = "embedding",
+                     sig_col: str = "lsh_sig") -> None:
+    """Day-2 append for the LSH index: sign new vectors with the SAME
+    persisted hyperplanes and append — signatures are pure vector
+    functions, so old and new rows land in consistent partitions
+    (unlike IVF there is no drift concern: the planes are
+    data-independent)."""
+    from ..io.tables import write_pages
+    signed = df.withColumn(sig_col,
+                           hyperplane_signature(F.col(vec_col), planes))
+    write_pages(signed, target, bucket_col=sig_col, mode="append")
 
 
 def ivf_probe_topk(spark: SparkSession, index_source: str,

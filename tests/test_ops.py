@@ -142,6 +142,48 @@ def _scan_partitions_read(df) -> int:
     return int(scan.metrics().apply("numPartitions").value())
 
 
+def test_index_append_day2(spark, tmp_path):
+    """Day-2 index growth: appending new vectors (assigned/signed with
+    the PERSISTED centroids/planes) must leave probes equal to a
+    from-scratch build over the union — and the probe still prunes to
+    the probed cells only."""
+    old = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0 + 0.01 * i, 0.0, 0.0, 0.0])
+         for i in range(8)] +
+        [Row(vec_id=100 + i, embedding=[0.0, 1.0 + 0.01 * i, 0.0, 0.0])
+         for i in range(8)])
+    new = spark.createDataFrame(
+        [Row(vec_id=200 + i, embedding=[1.0, 0.02 * i, 0.0, 0.0])
+         for i in range(6)])
+    cents = sim.ivf_train(old, n_centroids=2, iters=2)
+
+    idx = str(tmp_path / "ivf_idx")
+    sim.ivf_build_index(old, cents, idx)
+    sim.ivf_append_index(new, cents, idx)
+    full = str(tmp_path / "ivf_full")
+    sim.ivf_build_index(old.unionAll(new), cents, full)
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    got = sim.ivf_probe_topk(spark, idx, cents, q, k=5, n_probe=1).collect()
+    want = sim.ivf_probe_topk(spark, full, cents, q, k=5, n_probe=1).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == \
+        [(r.vec_id, r.cosine) for r in want]
+    # appended rows reachable through the appended partitions
+    wide = sim.ivf_probe_topk(spark, idx, cents, q, k=30, n_probe=1).collect()
+    assert {r.vec_id for r in wide} & set(range(200, 206))
+
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    lidx = str(tmp_path / "lsh_idx")
+    sim.lsh_build_index(old, planes, lidx)
+    sim.lsh_append_index(new, planes, lidx)
+    lfull = str(tmp_path / "lsh_full")
+    sim.lsh_build_index(old.unionAll(new), planes, lfull)
+    got_l = sim.lsh_probe_topk(spark, lidx, q, planes, k=5).collect()
+    want_l = sim.lsh_probe_topk(spark, lfull, q, planes, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in got_l] == \
+        [(r.vec_id, r.cosine) for r in want_l]
+
+
 def test_ivf_persisted_index_partition_pruned(spark, tmp_path):
     """The 100 TB scale path: assignments persisted ONCE as a partition
     column; a probe is a partition-PRUNED scan — the cell filter reaches
