@@ -2,12 +2,17 @@
 
 Image/audio/video travel as opaque ``binary`` columns with a metadata
 struct. Decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages — the Spark-side plumbing (schema,
-batching, partition sizing) is real and tested; the codec step itself is
-STUBBED behind ``decoder=`` (the image/audio libraries are not available
-in this container). Pass a real decoder (e.g. PIL/libav-based) in
-production; the default deterministic fake keeps pipelines testable.
-"""
+Arrow-batched ``mapInPandas`` stages.
+
+The codec step is injectable via ``decoder=`` / ``resizer=`` /
+``sampler=``. REAL pure-stdlib codecs live in ops/codecs.py — PNG
+decode/encode/resize (full RFC 2083 filter support) and WAV PCM
+decode, usable as ``extract_features(df,
+decoder=codecs.png_feature_decoder)`` / ``resize_images(df, w, h,
+resizer=codecs.png_resizer)`` with no external libraries. Defaults stay
+the deterministic md5 fakes (fast, format-agnostic — they exercise the
+plumbing for payloads the real codecs don't cover, e.g. video; inject a
+PIL/libav-backed callable for those in production)."""
 
 from __future__ import annotations
 
