@@ -40,6 +40,16 @@ def main():
     ap.add_argument("--min-stop-hits", type=int, default=2)
     ap.add_argument("--generate", type=int, default=0,
                     help="synthesize N web pages instead of reading input")
+    ap.add_argument("--dedup-store", default=None,
+                    help="parquet path of a persisted dedup store from a "
+                         "prior run (fingerprint_store output for exact, "
+                         "signature_store output for minhash) — day-2 "
+                         "incremental mode")
+    ap.add_argument("--write-store", default=None,
+                    help="after dedup, write/extend the fingerprint store "
+                         "with the SURVIVORS' fps at this parquet path "
+                         "(exact mode) so the next run can pass it as "
+                         "--dedup-store")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("gjs-pipeline").getOrCreate()
@@ -58,10 +68,12 @@ def main():
               .withColumn("doc_id", F.xxhash64("url", "warc_ts")))
     n_in = staged.count()
 
+    store = spark.read.parquet(args.dedup_store) if args.dedup_store else None
     cfg = PipelineConfig(dedup=args.dedup, mix_col=args.mix_col,
                          temperature=args.temperature,
                          pack_budget=args.pack_budget or None,
                          quality=not args.no_quality,
+                         dedup_store=store,
                          gopher_kwargs={"min_words": args.min_words,
                                         "min_stop_hits": args.min_stop_hits})
     out = preprocess_corpus(staged, cfg)
@@ -71,8 +83,24 @@ def main():
     n_out = written.count()
     n_packs = (written.select("pack_id").distinct().count()
                if "pack_id" in written.columns else None)
+    if args.write_store:
+        from gojsonschema_spark.ops.incremental import fingerprint_store
+        fps = fingerprint_store(written, text_col="text_final")
+        if store is not None and args.dedup == "exact":
+            fps = fps.unionAll(store.select("fp")).distinct()
+        if args.dedup_store and os.path.abspath(args.write_store) == \
+                os.path.abspath(args.dedup_store):
+            # extending the store in place: stage first (cannot overwrite
+            # a parquet dir that the plan is still reading from)
+            staging = args.write_store.rstrip("/") + ".staging"
+            fps.write.mode("overwrite").parquet(staging)
+            spark.read.parquet(staging).write.mode("overwrite") \
+                .parquet(args.write_store)
+        else:
+            fps.write.mode("overwrite").parquet(args.write_store)
     print(json.dumps({"rows_in": n_in, "rows_out": n_out,
-                      "n_packs": n_packs, "output": args.output}))
+                      "n_packs": n_packs, "output": args.output,
+                      "store": args.write_store}))
     spark.stop()
 
 
