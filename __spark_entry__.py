@@ -892,6 +892,25 @@ def q_embedding_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             .select("vec_id"))
 
 
+def q_drift_lang_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over the same half-split as
+    drift_lang_kl (the symmetrized-KL risk-monitoring standard)."""
+    d = _t(spark, sf_dir, "documents")
+    half = d.agg(F.max("doc_id")).collect()[0][0] // 2
+    return dc.categorical_drift_psi(d.filter(F.col("doc_id") <= half),
+                                    d.filter(F.col("doc_id") > half), "lang")
+
+
+def q_drift_lang_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift with a deliberately ONE-SIDED category: the
+    Q side drops 'de' entirely, so the full-outer null-as-zero path (the
+    reason to use JS over KL/PSI — new/vanished categories still count)
+    is load-bearing, not vacuous."""
+    d = _t(spark, sf_dir, "documents")
+    return dc.categorical_drift_js(d, d.filter(F.col("lang") != "de"),
+                                   "lang")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1027,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_incremental": q_exact_dedup_incremental,
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "embedding_dedup_incremental": q_embedding_dedup_incremental,
+        "drift_lang_psi": q_drift_lang_psi,
+        "drift_lang_js": q_drift_lang_js,
     }
 
 
@@ -1576,6 +1597,29 @@ def oracle_sql() -> dict[str, str]:
                   AND round(list_dot_product(n.v, m.v) /
                       (greatest(sqrt(list_dot_product(n.v, n.v)), 1e-12) *
                        greatest(sqrt(list_dot_product(m.v, m.v)), 1e-12)), 6) >= 0.99)
+        """,
+        "drift_lang_psi": """
+            WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+            p AS (SELECT lang, count(*) * 1.0 / (SELECT count(*) FROM documents, half WHERE doc_id <= h) AS p
+                  FROM documents, half WHERE doc_id <= h GROUP BY lang),
+            q AS (SELECT lang, count(*) * 1.0 / (SELECT count(*) FROM documents, half WHERE doc_id > h) AS q
+                  FROM documents, half WHERE doc_id > h GROUP BY lang)
+            SELECT round(sum((p.p - q.q) * ln(p.p / q.q)), 6) AS psi
+            FROM p JOIN q USING (lang)
+        """,
+        "drift_lang_js": """
+            WITH p AS (SELECT lang, count(*) * 1.0 / (SELECT count(*) FROM documents) AS p
+                       FROM documents GROUP BY lang),
+            q AS (SELECT lang, count(*) * 1.0 /
+                      (SELECT count(*) FROM documents WHERE lang <> 'de') AS q
+                  FROM documents WHERE lang <> 'de' GROUP BY lang),
+            j AS (SELECT coalesce(p.p, 0.0) AS p, coalesce(q.q, 0.0) AS q
+                  FROM p FULL OUTER JOIN q USING (lang))
+            SELECT round(sum(
+                CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END +
+                CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END
+            ) / 2, 6) AS js_divergence
+            FROM j
         """,
     })
     return out

@@ -25,6 +25,8 @@ __all__ = [
     "uniqueness_ratio",
     "referential_orphans",
     "categorical_drift_kl",
+    "categorical_drift_psi",
+    "categorical_drift_js",
     "histogram_drift_kl",
     "frequent_items",
 ]
@@ -134,3 +136,43 @@ def histogram_drift_kl(df_p: DataFrame, df_q: DataFrame, col: str,
     b = (F.floor(F.col(col) / F.lit(bucket_width))).alias("bucket")
     return categorical_drift_kl(df_p.select(b), df_q.select(b), "bucket",
                                 round_to=round_to)
+
+
+def categorical_drift_psi(df_p: DataFrame, df_q: DataFrame, col: str,
+                          round_to: int = 6) -> DataFrame:
+    """Population Stability Index over a categorical column — the
+    ML-ops/risk-monitoring standard (PSI = sum (p-q) * ln(p/q), the
+    SYMMETRIZED KL; conventional alert bands: < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 major shift). Same one-scan-per-side
+    |categories|-row shape as :func:`categorical_drift_kl`; categories
+    seen on both sides (smoothed-support convention, shared with the
+    KL op so the two monitors stay comparable)."""
+    p = _cat_dist(df_p, col, "p")
+    q = _cat_dist(df_q, col, "q")
+    joined = p.join(F.broadcast(q), on=col, how="inner")
+    return joined.agg(
+        F.round(F.sum((F.col("p") - F.col("q"))
+                      * F.log(F.col("p") / F.col("q"))), round_to)
+        .alias("psi"))
+
+
+def categorical_drift_js(df_p: DataFrame, df_q: DataFrame, col: str,
+                         round_to: int = 6) -> DataFrame:
+    """Jensen-Shannon divergence (natural log) over a categorical
+    column: JS = (KL(P||M) + KL(Q||M)) / 2 with M = (P+Q)/2. Bounded in
+    [0, ln 2] and symmetric — the drift score that stays finite when a
+    category exists on only one side, so the join is FULL OUTER with
+    null-as-zero (unlike KL/PSI's both-sides convention) and new or
+    vanished categories contribute rather than silently dropping out."""
+    p = _cat_dist(df_p, col, "p")
+    q = _cat_dist(df_q, col, "q")
+    joined = (p.join(q, on=col, how="full_outer")
+              .select(F.coalesce("p", F.lit(0.0)).alias("p"),
+                      F.coalesce("q", F.lit(0.0)).alias("q")))
+    m = (F.col("p") + F.col("q")) / 2
+    term = (F.when(F.col("p") > 0,
+                   F.col("p") * F.log(F.col("p") / m)).otherwise(F.lit(0.0))
+            + F.when(F.col("q") > 0,
+                     F.col("q") * F.log(F.col("q") / m)).otherwise(F.lit(0.0)))
+    return joined.agg(
+        F.round(F.sum(term) / 2, round_to).alias("js_divergence"))

@@ -475,6 +475,39 @@ def test_temperature_fractions_cardinality_guard(spark):
     assert set(fr) == {"0", "1", "2"} and max(fr.values()) == 1.0
 
 
+def test_drift_psi_and_js(spark):
+    """PSI and JS drift: hand-computed values on tiny distributions,
+    symmetry of both scores, JS's one-sided-category handling (bounded
+    by ln 2, nonzero when a category vanishes), and zero self-drift."""
+    import math
+
+    p_df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 1, ["g"])
+    q_df = spark.createDataFrame([("a",)] * 1 + [("b",)] * 3, ["g"])
+
+    psi = dc.categorical_drift_psi(p_df, q_df, "g").collect()[0].psi
+    want_psi = (0.75 - 0.25) * math.log(3) + (0.25 - 0.75) * math.log(1 / 3)
+    assert abs(psi - round(want_psi, 6)) < 1e-9
+    psi_rev = dc.categorical_drift_psi(q_df, p_df, "g").collect()[0].psi
+    assert psi == psi_rev  # PSI is symmetric
+
+    js = dc.categorical_drift_js(p_df, q_df, "g").collect()[0].js_divergence
+    m_a, m_b = 0.5, 0.5
+    want_js = (0.75 * math.log(0.75 / m_a) + 0.25 * math.log(0.25 / m_b)
+               + 0.25 * math.log(0.25 / m_a) + 0.75 * math.log(0.75 / m_b)) / 2
+    assert abs(js - round(want_js, 6)) < 1e-9
+    js_rev = dc.categorical_drift_js(q_df, p_df, "g").collect()[0].js_divergence
+    assert js == js_rev
+
+    # one-sided category: KL/PSI's inner join would drop 'c'; JS counts it
+    q_gone = spark.createDataFrame([("a",)] * 2 + [("c",)] * 2, ["g"])
+    js_one = dc.categorical_drift_js(p_df, q_gone, "g").collect()[0].js_divergence
+    assert 0.0 < js_one <= round(math.log(2), 6)
+
+    # identical distributions drift by exactly zero on all three scores
+    assert dc.categorical_drift_js(p_df, p_df, "g").collect()[0].js_divergence == 0.0
+    assert dc.categorical_drift_psi(p_df, p_df, "g").collect()[0].psi == 0.0
+
+
 def test_sketch_paths_within_tolerance(spark):
     """The 100 TB variants (HLL distinct, approx_percentile sketch) gated
     against their exact counterparts with error bands — these are the
