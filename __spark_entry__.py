@@ -911,6 +911,25 @@ def q_drift_lang_js(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "lang")
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (ASOF) join — the feature-store lookup Spark lacks
+    natively (ops/joins.py::asof_join, union + last-non-null window, one
+    shuffle): every event gets the latest 'checkpoint' event (id % 10 ==
+    0) of the same user at or before its timestamp. DuckDB's native
+    ASOF LEFT JOIN is the oracle."""
+    from gojsonschema_spark.ops.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    checkpoints = (e.filter(F.col("event_id") % 10 == 0)
+                   .select("user_id", "ts", "event_id"))
+    return (asof_join(e, checkpoints, key_col="user_id", ts_col="ts",
+                      value_col="event_id", out_col="asof_cp")
+            # no-match rows render as -1: the driver/check_oracle row
+            # sorters cannot order None against ints
+            .select("event_id", "user_id",
+                    F.coalesce("asof_cp", F.lit(-1)).alias("asof_cp")))
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1048,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_incremental": q_embedding_dedup_incremental,
         "drift_lang_psi": q_drift_lang_psi,
         "drift_lang_js": q_drift_lang_js,
+        "asof_join_events": q_asof_join_events,
     }
 
 
@@ -1620,6 +1640,17 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END
             ) / 2, 6) AS js_divergence
             FROM j
+        """,
+        "asof_join_events": """
+            WITH r AS (
+                SELECT user_id, ts, max(event_id) AS cp
+                FROM events WHERE event_id % 10 = 0
+                GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id,
+                   coalesce(r.cp, -1) AS asof_cp
+            FROM events e
+            ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
         """,
     })
     return out

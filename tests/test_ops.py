@@ -475,6 +475,42 @@ def test_temperature_fractions_cardinality_guard(spark):
     assert set(fr) == {"0", "1", "2"} and max(fr.values()) == 1.0
 
 
+def test_asof_join(spark):
+    """Point-in-time join semantics: latest right value at-or-before
+    each left timestamp (ties match), NULL before any right row,
+    same-timestamp right duplicates resolve to max value, tolerance
+    nulls stale matches; exactly one shuffle key (no range explosion)."""
+    import datetime as dt
+
+    from gojsonschema_spark.ops.joins import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, T(1), "e1"), (1, T(5), "e2"), (1, T(10), "e3"),
+         (2, T(3), "e4"), (3, T(9), "e5")],
+        ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, T(5), 50), (1, T(5), 55),     # duplicate ts -> max wins
+         (1, T(2), 20), (2, T(3), 30)],
+        ["k", "ts", "v"])
+    out = {r.tag: r.asof_v for r in
+           asof_join(left, right, "k", "ts", "v").collect()}
+    assert out == {"e1": None,     # nothing at or before T(1)
+                   "e2": 55,       # tie at T(5) matches; max of dup ts
+                   "e3": 55,       # carried forward
+                   "e4": 30,       # exact tie on key 2
+                   "e5": None}     # key 3 has no right rows
+    # left columns survive untouched
+    cols = asof_join(left, right, "k", "ts", "v").columns
+    assert cols == ["k", "ts", "tag", "asof_v"]
+
+    # staleness cutoff: e3 is 5s after its match -> nulled at 4s tolerance
+    tol = {r.tag: r.asof_v for r in
+           asof_join(left, right, "k", "ts", "v",
+                     tolerance_sec=4.0).collect()}
+    assert tol["e2"] == 55 and tol["e3"] is None
+
+
 def test_drift_psi_and_js(spark):
     """PSI and JS drift: hand-computed values on tiny distributions,
     symmetry of both scores, JS's one-sided-category handling (bounded
