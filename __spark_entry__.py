@@ -930,6 +930,26 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("asof_cp", F.lit(-1)).alias("asof_cp")))
 
 
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via time-bucketed equi-join
+    (ops/joins.py::range_join — never a nested-loop plan): every event
+    inside the 600-second window opened by each same-user checkpoint
+    event (id % 20 == 0). Oracle = plain BETWEEN join in DuckDB."""
+    from gojsonschema_spark.ops.joins import range_join
+
+    e = _t(spark, sf_dir, "events")
+    iv = (e.filter(F.col("event_id") % 20 == 0)
+          .select("user_id", F.col("event_id").alias("cp_id"),
+                  F.col("ts").alias("w_start"),
+                  (F.col("ts") + F.expr("INTERVAL 600 SECONDS"))
+                  .alias("w_end")))
+    pts = e.select("user_id", "event_id", "ts")
+    out = range_join(pts, iv, key_col="user_id", ts_col="ts",
+                     start_col="w_start", end_col="w_end",
+                     bucket_width_sec=600.0)
+    return out.select("event_id", "cp_id")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1068,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_lang_psi": q_drift_lang_psi,
         "drift_lang_js": q_drift_lang_js,
         "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
     }
 
 
@@ -1651,6 +1672,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.cp, -1) AS asof_cp
             FROM events e
             ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+        """,
+        "range_join_events": """
+            WITH iv AS (
+                SELECT user_id, event_id AS cp_id, ts AS ws,
+                       ts + INTERVAL 600 SECOND AS we
+                FROM events WHERE event_id % 20 = 0
+            )
+            SELECT e.event_id, iv.cp_id
+            FROM events e JOIN iv
+              ON e.user_id = iv.user_id AND e.ts BETWEEN iv.ws AND iv.we
         """,
     })
     return out

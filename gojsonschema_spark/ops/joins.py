@@ -14,7 +14,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
+
+
+def range_join(points: DataFrame, intervals: DataFrame, key_col: str,
+               ts_col: str, start_col: str, end_col: str,
+               bucket_width_sec: float = 3600.0) -> DataFrame:
+    """Interval join: every (point, interval) pair of the same key with
+    ``start_col <= ts <= end_col`` (inclusive both ends). Spark plans a
+    naive non-equi join as BroadcastNestedLoop/cartesian — quadratic per
+    key; this bucketizes time instead: each interval explodes to the
+    ``bucket_width_sec`` buckets it spans, each point maps to exactly
+    one bucket, and the join is an EQUI-join on (key, bucket) + a final
+    range filter. Each matching pair joins exactly once (the point has
+    one bucket), so no dedup pass.
+
+    ``bucket_width_sec`` trades interval-row amplification (an interval
+    produces span/width + 1 rows) against bucket selectivity (points
+    falling in a bucket meet every interval touching it) — set it near
+    the TYPICAL interval span. Column names other than ``key_col`` must
+    be disjoint between the two inputs."""
+    from pyspark.sql.types import TimestampNTZType
+
+    w = float(bucket_width_sec)
+    overlap = set(points.columns) & set(intervals.columns) - {key_col}
+    if overlap:
+        raise ValueError(f"colliding non-key columns: {sorted(overlap)}")
+
+    def secs(df, c):
+        # epoch seconds; NTZ has no direct double cast — route through
+        # timestamp (any consistent monotone mapping works: only bucket
+        # IDENTITY matters, and both sides use the same mapping)
+        col = F.col(c)
+        if isinstance(df.schema[c].dataType, TimestampNTZType):
+            col = col.cast("timestamp")
+        return col.cast("double")
+
+    iv = intervals.withColumn(
+        "__b", F.explode(F.sequence(
+            F.floor(secs(intervals, start_col) / w).cast("long"),
+            F.floor(secs(intervals, end_col) / w).cast("long"))))
+    pt = points.withColumn(
+        "__b", F.floor(secs(points, ts_col) / w).cast("long"))
+    return (pt.join(iv, [key_col, "__b"])
+            .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+            .drop("__b"))
 
 
 def asof_join(left: DataFrame, right: DataFrame, key_col: str,
@@ -63,8 +107,15 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
         F.last("__vts", ignorenulls=True).over(w).alias("__mts"))
     res = filled.filter(F.col("__side") == 1)
     if tolerance_sec is not None:
-        fresh = (F.col(ts_col).cast("double")
-                 - F.col("__mts").cast("double")) <= float(tolerance_sec)
+        from pyspark.sql.types import TimestampNTZType
+
+        def secs(c):
+            col = F.col(c)
+            if isinstance(left.schema[ts_col].dataType, TimestampNTZType):
+                col = col.cast("timestamp")  # NTZ has no direct double cast
+            return col.cast("double")
+
+        fresh = (secs(ts_col) - secs("__mts")) <= float(tolerance_sec)
         res = res.withColumn(out_col,
                              F.when(fresh, F.col(out_col)))
     return res.drop("__side", "__v", "__vts", "__mts")

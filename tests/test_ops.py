@@ -511,6 +511,48 @@ def test_asof_join(spark):
     assert tol["e2"] == 55 and tol["e3"] is None
 
 
+def test_range_join(spark):
+    """Interval join via time-bucketed equi-join: inclusive bounds,
+    multi-bucket intervals still match exactly once per pair, no
+    nested-loop in the plan, NTZ timestamps + asof tolerance path work."""
+    import datetime as dt
+
+    from gojsonschema_spark.ops.joins import asof_join, range_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    pts = spark.createDataFrame(
+        [(1, "p1", T(0)), (1, "p2", T(100)), (1, "p3", T(250)),
+         (2, "p4", T(100))], ["k", "tag", "ts"])
+    iv = spark.createDataFrame(
+        [(1, "w1", T(0), T(100)),        # 100s window, inclusive end
+         (1, "w2", T(90), T(260)),       # spans multiple 60s buckets
+         (2, "w3", T(200), T(300))],     # wrong time for p4
+        ["k", "wtag", "ws", "we"])
+    out = range_join(pts, iv, "k", "ts", "ws", "we", bucket_width_sec=60)
+    got = sorted((r.tag, r.wtag) for r in out.collect())
+    assert got == [("p1", "w1"), ("p2", "w1"),   # inclusive both ends
+                   ("p2", "w2"), ("p3", "w2")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    with pytest.raises(ValueError, match="colliding"):
+        range_join(pts, iv.withColumnRenamed("wtag", "tag"),
+                   "k", "ts", "ws", "we")
+
+    # NTZ timestamps through both join ops (events.parquet uses NTZ)
+    ntz = lambda df, cols: df.select(
+        *[F.col(c).cast("timestamp_ntz").alias(c) if c in cols else F.col(c)
+          for c in df.columns])
+    out_ntz = range_join(ntz(pts, {"ts"}), ntz(iv, {"ws", "we"}),
+                         "k", "ts", "ws", "we", bucket_width_sec=60)
+    assert sorted((r.tag, r.wtag) for r in out_ntz.collect()) == got
+    right = spark.createDataFrame([(1, T(10), 7)], ["k", "ts", "v"])
+    tol = asof_join(ntz(pts, {"ts"}), ntz(right, {"ts"}), "k", "ts", "v",
+                    tolerance_sec=95.0).collect()
+    by_tag = {r.tag: r.asof_v for r in tol}
+    assert by_tag["p2"] == 7 and by_tag["p3"] is None  # 240s > 95s stale
+
+
 def test_drift_psi_and_js(spark):
     """PSI and JS drift: hand-computed values on tiny distributions,
     symmetry of both scores, JS's one-sided-category handling (bounded
