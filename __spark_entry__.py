@@ -950,6 +950,17 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "cp_id")
 
 
+def q_topk_per_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k WITHOUT the row_number window trap (which sorts a
+    whole group on one task — a bot key serializes there): salted
+    bounded two-stage aggregation, no task holds more than a lane
+    (ops/dataset_checks.py::topk_per_group). Top-3 events per user by
+    value, event_id tiebreak."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return dc.topk_per_group(e, ["user_id"], "value", k=3,
+                             ascending=False, tiebreak_col="event_id")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1089,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_lang_js": q_drift_lang_js,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
+        "topk_per_group": q_topk_per_group_events,
     }
 
 
@@ -1682,6 +1694,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, iv.cp_id
             FROM events e JOIN iv
               ON e.user_id = iv.user_id AND e.ts BETWEEN iv.ws AND iv.we
+        """,
+        "topk_per_group": """
+            SELECT event_id, user_id, value FROM (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
         """,
     })
     return out

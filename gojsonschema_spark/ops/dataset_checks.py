@@ -29,6 +29,7 @@ __all__ = [
     "categorical_drift_js",
     "histogram_drift_kl",
     "frequent_items",
+    "topk_per_group",
 ]
 
 
@@ -74,6 +75,45 @@ def frequent_items(df: DataFrame, col: str, k: int = 10) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n"))
               .orderBy(F.col("n").desc(), F.col("value").asc())
               .limit(k))
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str,
+                   k: int, ascending: bool = True,
+                   tiebreak_col: str | None = None,
+                   n_salts: int = 32) -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` — WITHOUT the window
+    trap: ``row_number() over (partition by g order by o)`` shuffles and
+    SORTS every group on one task, so a degenerate group (one host with
+    10^9 pages) serializes there. This is the salted bounded two-stage
+    aggregation instead (the exact_duplicates r4 pattern, generalized):
+    stage 1 keeps the k best rows per (group, salt) lane — every member
+    of the global top-k survives its lane's slice — and stage 2 merges
+    <= n_salts * k rows per group; no task ever holds more than a lane.
+    Both stages are algebraic (map-side partial collect + slice).
+
+    Ordering is (order_col, tiebreak_col) ascending, or descending on a
+    NUMERIC order_col with ``ascending=False`` (implemented by keyed
+    negation so the tiebreak stays ASCENDING — the row_number
+    convention). Pass a per-group-unique ``tiebreak_col`` for fully
+    deterministic output. Returns the original columns, k rows per
+    group."""
+    okey = F.col(order_col) if ascending else -F.col(order_col)
+    fields = [okey.alias("__o")]
+    if tiebreak_col:
+        fields.append(F.col(tiebreak_col).alias("__t"))
+    member = F.struct(*fields,
+                      F.struct(*[F.col(c) for c in df.columns]).alias("__r"))
+    salt_src = tiebreak_col or order_col
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).cast("int"))
+    lane = (salted.groupBy(*group_cols, "__salt")
+            .agg(F.slice(F.sort_array(F.collect_list(member)), 1, k)
+                 .alias("__m")))
+    top = (lane.groupBy(*group_cols)
+           .agg(F.slice(F.sort_array(F.flatten(F.collect_list("__m"))), 1, k)
+                .alias("__m")))
+    return (top.select(F.explode("__m").alias("__e"))
+            .select("__e.__r.*"))
 
 
 def duplicate_keys(df: DataFrame, key: str, min_count: int = 2) -> DataFrame:

@@ -511,6 +511,31 @@ def test_asof_join(spark):
     assert tol["e2"] == 55 and tol["e3"] is None
 
 
+def test_topk_per_group(spark):
+    """Salted bounded top-k per group == the window row_number reference
+    on a skewed corpus (one hot group), both directions, k exceeding
+    small groups; no group ever sorts on a single task."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rnd = random.Random(17)
+    rows = [("hot", i, rnd.random() * 100) for i in range(5000)]
+    rows += [(f"g{j}", 10000 + j * 10 + i, float(rnd.randint(0, 50)))
+             for j in range(20) for i in range(rnd.randint(1, 5))]
+    df = spark.createDataFrame(rows, ["g", "rid", "v"])
+
+    for asc in (True, False):
+        got = sorted((r.g, r.rid) for r in dc.topk_per_group(
+            df, ["g"], "v", k=3, ascending=asc, tiebreak_col="rid").collect())
+        order = [F.col("v").asc() if asc else F.col("v").desc(),
+                 F.col("rid").asc()]
+        want = sorted((r.g, r.rid) for r in df.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy(*order)))
+            .filter(F.col("rn") <= 3).collect())
+        assert got == want
+
+
 def test_range_join(spark):
     """Interval join via time-bucketed equi-join: inclusive bounds,
     multi-bucket intervals still match exactly once per pair, no
