@@ -961,6 +961,15 @@ def q_topk_per_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ascending=False, tiebreak_col="event_id")
 
 
+def q_group_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling (ops/dataset_checks.py::
+    group_sample): 5 events per user ranked by md5(event_id || '|7') —
+    a seed-keyed uniform permutation both engines can derive, routed
+    through the skew-safe topk_per_group (no row_number window)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return dc.group_sample(e, ["user_id"], k=5, id_col="event_id", seed=7)
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1101,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "topk_per_group": q_topk_per_group_events,
+        "group_sample": q_group_sample_events,
     }
 
 
@@ -1702,6 +1712,16 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id) AS rn
                 FROM events
             ) WHERE rn <= 3
+        """,
+        "group_sample": """
+            SELECT event_id, user_id FROM (
+                SELECT event_id, user_id,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY md5(CAST(event_id AS VARCHAR) || '|7'),
+                                    event_id) AS rn
+                FROM events
+            ) WHERE rn <= 5
         """,
     })
     return out

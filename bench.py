@@ -243,6 +243,22 @@ def bench_queries(spark) -> dict[str, float]:
     run("dedup_incremental_exact", lambda: inc.exact_dedup_incremental(
         staged, inc.fingerprint_store(prior))
         .agg(F.count(F.lit(1))).collect(), reps=2)
+    # point-in-time + interval joins over the SF events table (r5)
+    from gojsonschema_spark.ops.joins import asof_join, range_join
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cps = (ev.filter(F.col("event_id") % 10 == 0)
+           .select("user_id", "ts", "event_id"))
+    run("asof_join", lambda: asof_join(
+        ev, cps, "user_id", "ts", "event_id", out_col="cp")
+        .agg(F.count("cp")).collect(), reps=2)
+    iv = (ev.filter(F.col("event_id") % 20 == 0)
+          .select("user_id", F.col("event_id").alias("cp_id"),
+                  F.col("ts").alias("ws"),
+                  (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("we")))
+    run("range_join", lambda: range_join(
+        ev.select("user_id", "event_id", "ts"), iv, "user_id", "ts",
+        "ws", "we", bucket_width_sec=600.0)
+        .agg(F.count(F.lit(1))).collect(), reps=2)
     # batch sessionization over the SF events table (window path)
     from gojsonschema_spark.spark.streaming import sessionize_batch
     events_sf = spark.read.parquet(f"{SF_DIR}/events.parquet")

@@ -30,6 +30,7 @@ __all__ = [
     "histogram_drift_kl",
     "frequent_items",
     "topk_per_group",
+    "group_sample",
 ]
 
 
@@ -114,6 +115,25 @@ def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str,
                 .alias("__m")))
     return (top.select(F.explode("__m").alias("__e"))
             .select("__e.__r.*"))
+
+
+def group_sample(df: DataFrame, group_cols: list[str], k: int,
+                 id_col: str, seed: int = 0) -> DataFrame:
+    """Deterministic uniform k-sample per group (eval-set carving,
+    per-domain inspection samples): rank rows by ``md5(id || '|' ||
+    seed)`` — a uniform pseudo-random permutation keyed by a UNIQUE id,
+    reproducible across runs, re-partitionings, and plain-SQL oracles
+    (unlike ``F.rand``, whose draw depends on row order within
+    partitions) — and keep each group's k smallest via the skew-safe
+    :func:`topk_per_group`, so a degenerate group (one host with 10^9
+    pages) never sorts on a single task. A fresh ``seed`` redraws the
+    sample."""
+    keyed = df.withColumn(
+        "__rk", F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                                  F.lit(str(seed)))))
+    return (topk_per_group(keyed, group_cols, "__rk", k,
+                           ascending=True, tiebreak_col=id_col)
+            .drop("__rk"))
 
 
 def duplicate_keys(df: DataFrame, key: str, min_count: int = 2) -> DataFrame:

@@ -536,6 +536,30 @@ def test_topk_per_group(spark):
         assert got == want
 
 
+def test_group_sample(spark):
+    """Deterministic per-group sampling: same seed -> identical sample
+    across recomputation and repartitioning; fresh seed -> different
+    draw; groups smaller than k return whole; sizes exact."""
+    rows = [(f"g{i % 4}", i) for i in range(400)] + [("tiny", 9999)]
+    df = spark.createDataFrame(rows, ["g", "rid"])
+
+    s1 = sorted((r.g, r.rid) for r in
+                dc.group_sample(df, ["g"], k=10, id_col="rid",
+                                seed=3).collect())
+    s1b = sorted((r.g, r.rid) for r in
+                 dc.group_sample(df.repartition(7), ["g"], k=10,
+                                 id_col="rid", seed=3).collect())
+    s2 = sorted((r.g, r.rid) for r in
+                dc.group_sample(df, ["g"], k=10, id_col="rid",
+                                seed=4).collect())
+    assert s1 == s1b          # layout-independent determinism
+    assert s1 != s2           # a new seed redraws
+    from collections import Counter
+    sizes = Counter(g for g, _ in s1)
+    assert sizes == {"g0": 10, "g1": 10, "g2": 10, "g3": 10, "tiny": 1}
+    assert ("tiny", 9999) in s1
+
+
 def test_range_join(spark):
     """Interval join via time-bucketed equi-join: inclusive bounds,
     multi-bucket intervals still match exactly once per pair, no
