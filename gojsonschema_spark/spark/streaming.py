@@ -27,7 +27,8 @@ __all__ = ["validate_stream", "validate_stream_to_parquet",
            "windowed_invalid_rate", "sessionize_stream",
            "sessionize_stream_event_time", "sessionize_batch",
            "sessionize_skew_guarded", "dedup_stream",
-           "dedup_stream_incremental", "windowed_drift_kl"]
+           "dedup_stream_incremental", "windowed_drift_kl",
+           "windowed_drift"]
 
 
 def validate_stream(stream_df: DataFrame, validator: SparkValidator,
@@ -461,3 +462,72 @@ def windowed_drift_kl(stream_df: DataFrame, ts_col: str, col: str,
                 .alias("kl_divergence"),
                 F.sum("__c").alias("n_docs"))
             .withColumnRenamed("__w", "window"))
+
+
+def windowed_drift(stream_df: DataFrame, ts_col: str, col: str,
+                   baseline: DataFrame, metric: str = "js",
+                   window: str = "10 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Generalized windowed drift vs a static baseline: ``metric`` is
+    ``"kl"``, ``"psi"`` or ``"js"``, each the EXACT live twin of its
+    batch op (ops/dataset_checks.py categorical_drift_*) including the
+    support conventions — KL/PSI normalize the window distribution over
+    ALL its categories and drop baseline-unseen ones from the sum
+    (inner-support), while JS counts one-sided categories: a
+    window-only category contributes p*ln2/2 and the baseline mass
+    ABSENT from the window contributes (1 - S)*ln2/2 in closed form (S
+    = baseline mass of window-present categories) — no stream-side
+    full-outer join needed, which streaming could not express.
+
+    Shape: stage 1 is the same bounded windowed count as
+    :func:`windowed_drift_kl`; the per-window metric then folds a
+    collect_list of (count, q) pairs — |categories| entries, interpreted
+    HOF over a tiny array — because p = c/N needs N inside each
+    logarithm, which a second chained aggregation cannot see."""
+    if metric not in ("kl", "psi", "js"):
+        raise ValueError("metric must be kl|psi|js")
+    total = baseline.count()
+    q = (baseline.groupBy(col)
+         .agg((F.count(F.lit(1)) / F.lit(float(total))).alias("__q")))
+    counts = (stream_df
+              .withWatermark(ts_col, watermark)
+              .groupBy(F.window(F.col(ts_col), window).alias("__w"),
+                       F.col(col))
+              .agg(F.count(F.lit(1)).alias("__c")))
+    joined = (counts.join(F.broadcast(q), on=col, how="left_outer")
+              .select("__w", "__c",
+                      F.coalesce("__q", F.lit(0.0)).alias("__q")))
+    per_w = (joined.groupBy("__w")
+             .agg(F.collect_list(F.struct("__c", "__q")).alias("__es"),
+                  F.sum("__c").alias("__n"),
+                  F.sum("__q").alias("__s")))
+    n = F.col("__n").cast("double")
+    ln2 = float(__import__("math").log(2.0))
+
+    def fold(term):
+        return F.aggregate(F.col("__es"), F.lit(0.0), term)
+
+    if metric == "kl":
+        val = fold(lambda acc, e: acc + F.when(
+            e["__q"] > 0,
+            (e["__c"] / n) * F.log(e["__c"] / n / e["__q"]))
+            .otherwise(F.lit(0.0)))
+        out_name = "kl_divergence"
+    elif metric == "psi":
+        val = fold(lambda acc, e: acc + F.when(
+            e["__q"] > 0,
+            (e["__c"] / n - e["__q"]) * F.log(e["__c"] / n / e["__q"]))
+            .otherwise(F.lit(0.0)))
+        out_name = "psi"
+    else:
+        def js_term(acc, e):
+            p = e["__c"] / n
+            m = (p + e["__q"]) / 2
+            both = (p * F.log(p / m)
+                    + e["__q"] * F.log(e["__q"] / m)) / 2
+            return acc + F.when(e["__q"] > 0, both).otherwise(p * ln2 / 2)
+        val = fold(js_term) + (1.0 - F.col("__s")) * ln2 / 2
+        out_name = "js_divergence"
+    return per_w.select(F.col("__w").alias("window"),
+                        F.round(val, 6).alias(out_name),
+                        F.col("__n").alias("n_docs"))

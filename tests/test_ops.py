@@ -602,6 +602,53 @@ def test_range_join(spark):
     assert by_tag["p2"] == 7 and by_tag["p3"] is None  # 240s > 95s stale
 
 
+def test_asof_range_join_randomized(spark):
+    """Seeded randomized equivalence: asof_join vs pandas.merge_asof
+    (an independent reference implementation) and range_join vs a
+    brute-force nested-loop scan, over corpora with ties, duplicate
+    timestamps, and keys missing from either side."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from gojsonschema_spark.ops.joins import asof_join, range_join
+
+    rnd = random.Random(41)
+    T0 = dt.datetime(2024, 1, 1)
+    T = lambda s: T0 + dt.timedelta(seconds=s)
+    left = [(rnd.randint(1, 6), i, T(rnd.randint(0, 500)))
+            for i in range(120)]
+    right = [(rnd.randint(1, 7), T(rnd.randint(0, 500)), rnd.randint(0, 99))
+             for _ in range(60)]
+    ldf = spark.createDataFrame(left, ["k", "lid", "ts"])
+    rdf = spark.createDataFrame(right, ["k", "ts", "v"])
+
+    got = {r.lid: r.asof_v for r in
+           asof_join(ldf, rdf, "k", "ts", "v").collect()}
+    # reference: dedupe right to max v per (k, ts), then merge_asof
+    rpd = (pd.DataFrame(right, columns=["k", "ts", "v"])
+           .groupby(["k", "ts"], as_index=False)["v"].max()
+           .sort_values("ts"))
+    lpd = pd.DataFrame(left, columns=["k", "lid", "ts"]).sort_values("ts")
+    ref = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward",
+                        allow_exact_matches=True)
+    want = {int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in ref.itertuples()}
+    assert got == want
+
+    ivs = [(rnd.randint(1, 6), j, T(s), T(s + rnd.randint(0, 120)))
+           for j, s in enumerate(rnd.sample(range(0, 480), 40))]
+    ivdf = spark.createDataFrame(ivs, ["k", "iid", "ws", "we"])
+    got_r = sorted((r.lid, r.iid) for r in
+                   range_join(ldf, ivdf, "k", "ts", "ws", "we",
+                              bucket_width_sec=60).collect())
+    want_r = sorted((lid, iid) for k, lid, ts in left
+                    for ik, iid, ws, we in ivs
+                    if k == ik and ws <= ts <= we)
+    assert got_r == want_r
+
+
 def test_drift_psi_and_js(spark):
     """PSI and JS drift: hand-computed values on tiny distributions,
     symmetry of both scores, JS's one-sided-category handling (bounded

@@ -293,6 +293,60 @@ def test_streaming_windowed_drift_kl(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_windowed_drift_all_metrics(spark, tmp_path):
+    """windowed_drift(metric=kl|psi|js) equals its batch twin on the
+    same window slice — with BOTH one-sided category classes present:
+    'zz' appears only in the window (JS p-only path), 'fr' only in the
+    baseline (JS closed-form (1-S)ln2 term; dropped by KL/PSI)."""
+    from gojsonschema_spark.ops.dataset_checks import (categorical_drift_js,
+                                                       categorical_drift_kl,
+                                                       categorical_drift_psi)
+    from gojsonschema_spark.spark.streaming import windowed_drift
+
+    src = tmp_path / "in_wd"
+    src.mkdir()
+    w1 = ([{"lang": "en", "ts": "2026-01-01T10:00:05"}] * 5
+          + [{"lang": "de", "ts": "2026-01-01T10:01:00"}] * 2
+          + [{"lang": "zz", "ts": "2026-01-01T10:02:00"}] * 1)
+    with open(src / "b1.json", "w") as f:
+        for r in w1:
+            f.write(json.dumps(r) + "\n")
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"lang": "en", "ts": "2026-01-01T12:00:00"}) + "\n")
+
+    baseline = spark.createDataFrame(
+        [("en",)] * 4 + [("de",)] * 4 + [("fr",)] * 2, ["lang"])
+    w1_df = spark.createDataFrame(
+        [("en",)] * 5 + [("de",)] * 2 + [("zz",)] * 1, ["lang"])
+    batch = {
+        "kl": categorical_drift_kl(w1_df, baseline, "lang").collect()[0][0],
+        "psi": categorical_drift_psi(w1_df, baseline, "lang").collect()[0][0],
+        "js": categorical_drift_js(w1_df, baseline, "lang").collect()[0][0],
+    }
+
+    for metric in ("kl", "psi", "js"):
+        stream = (spark.readStream
+                  .schema(StructType([StructField("lang", StringType()),
+                                      StructField("ts", TimestampType())]))
+                  .option("maxFilesPerTrigger", 1)
+                  .json(str(src)))
+        out = windowed_drift(stream, "ts", "lang", baseline, metric=metric,
+                             window="10 minutes", watermark="5 minutes")
+        name = f"wd_{metric}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(f"select * from {name}").collect()
+            got = {r.window.start.isoformat(): (r[1], r.n_docs)
+                   for r in rows}
+            val, n = got["2026-01-01T10:00:00"]
+            assert n == 8
+            assert abs(val - batch[metric]) < 1e-6, (metric, val, batch)
+        finally:
+            q.stop()
+
+
 def test_streaming_multischema_dispatch(spark, tmp_path):
     """Per-row schema dispatch is stateless (column CASE chain + masked
     UDF branches), so it runs unchanged on a stream — including a kind
