@@ -15,6 +15,11 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def norm(v):
+    if v is None:
+        # sortable sentinel: Python cannot order None against ints when
+        # sorting row tuples (both sides map None identically, so
+        # equality is unaffected)
+        return "\x00null"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
