@@ -243,6 +243,12 @@ def bench_queries(spark) -> dict[str, float]:
     run("dedup_incremental_exact", lambda: inc.exact_dedup_incremental(
         staged, inc.fingerprint_store(prior))
         .agg(F.count(F.lit(1))).collect(), reps=2)
+    run("dedup_incremental_minhash", lambda: inc.minhash_dedup_incremental(
+        docs_sf, inc.signature_store(
+            docs_sf.filter(F.col("doc_id") % 2 == 0),
+            num_hashes=32, k=3),
+        num_hashes=32, bands=8, confirm_exact=True)
+        .agg(F.count(F.lit(1))).collect(), reps=2)
     # point-in-time + interval joins over the SF events table (r5)
     from gojsonschema_spark.ops.joins import asof_join, range_join
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")

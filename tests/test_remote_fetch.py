@@ -88,6 +88,24 @@ def test_non_http_url_rejected_by_fetcher():
         fetch("ftp://example.com/schema.json")
 
 
+def test_fetcher_composes_with_spark_engine(remote_server, spark):
+    """A schema whose $ref resolves via the LIVE fetcher validates a
+    DataFrame through the full Spark engine: the fetch happens once at
+    driver-side compile; executors only see the compiled graph."""
+    from gojsonschema_spark.spark.engine import SparkValidator
+
+    base, _ = remote_server
+    compiler = SchemaCompiler(draft="draft7", fetcher=http_fetcher())
+    v = SparkValidator(
+        {"type": "object", "required": ["n"],
+         "properties": {"n": {"$ref": base + "integer.json"}}},
+        compiler=compiler)
+    df = spark.createDataFrame(
+        [('{"n": 3}',), ('{"n": "x"}',), ('{}',)], ["doc"])
+    assert [r.valid for r in v.validate_json(df, "doc").collect()] == \
+        [True, False, False]
+
+
 @pytest.mark.parametrize("draft", ["draft4", "draft6", "draft7"])
 def test_refremote_suite_through_fetch_path(remote_server, draft):
     """The refRemote.json fixtures pass via LIVE fetch (no
