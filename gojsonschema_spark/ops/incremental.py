@@ -263,10 +263,20 @@ def simhash_store(df: DataFrame, text_col: str = "text",
                      simhash(F.col(text_col)).alias("sim"))
 
 
-def _simhash_blocks(sims: DataFrame, n_blocks: int) -> DataFrame:
-    """(k, blk, val) rows: the 64-bit simhash split into ``n_blocks``
-    contiguous bit blocks (widths as even as 64/n allows). Pure shifts —
-    no UDF."""
+def _simhash_combo_keys(sims: DataFrame, n_blocks: int,
+                        need: int) -> DataFrame:
+    """(k, blk, val) rows — one per ``need``-sized block COMBINATION:
+    the 64-bit simhash splits into ``n_blocks`` contiguous bit blocks
+    (widths as even as 64/n allows) and each combination of ``need``
+    blocks concatenates into one join key (``blk`` = combination index,
+    ``val`` = xxhash64 of the member block values). A pair within
+    Hamming distance d = n_blocks - need differs in at most d blocks,
+    hence agrees EXACTLY on every block of at least one ``need``-subset
+    — the Manku table construction's pigeonhole. For need == 1 this
+    degenerates to plain per-block keys. Pure shifts + one hash — no
+    UDF."""
+    import itertools
+
     bounds = []
     base, rem = divmod(64, n_blocks)
     lo = 0
@@ -274,15 +284,19 @@ def _simhash_blocks(sims: DataFrame, n_blocks: int) -> DataFrame:
         w = base + (1 if i < rem else 0)
         bounds.append((lo, w))
         lo += w
-    blocks = F.array(*[
+    # logical right shift then mask: width < 64, so the mask literal
+    # fits a signed long
+    vals = [F.shiftrightunsigned(F.col("sim"), lo)
+             .bitwiseAND(F.lit((1 << w) - 1))
+            for lo, w in bounds]
+    combos = list(itertools.combinations(range(n_blocks), need))
+    keys = F.array(*[
         F.struct(
-            F.lit(i).alias("blk"),
-            # logical right shift then mask: width<64 always, so the
-            # mask literal fits a signed long
-            F.shiftrightunsigned(F.col("sim"), lo)
-             .bitwiseAND(F.lit((1 << w) - 1)).alias("val"))
-        for i, (lo, w) in enumerate(bounds)])
-    return (sims.select("k", F.explode(blocks).alias("b"))
+            F.lit(ci).alias("blk"),
+            (vals[c[0]] if len(c) == 1 else
+             F.xxhash64(*[vals[j] for j in c])).alias("val"))
+        for ci, c in enumerate(combos)])
+    return (sims.select("k", F.explode(keys).alias("b"))
             .select("k", F.col("b.blk").alias("blk"),
                     F.col("b.val").alias("val")))
 
@@ -291,6 +305,7 @@ def simhash_dedup_incremental(new_df: DataFrame, store: DataFrame,
                               text_col: str = "text",
                               key_col: str = "doc_id",
                               max_hamming: int = 3,
+                              n_blocks: int | None = None,
                               max_bucket: int = 100_000) -> DataFrame:
     """Near-duplicate dedup of a new crawl against a persisted SimHash
     store at Hamming distance <= ``max_hamming`` — the Manku/Jain/Sarma
@@ -299,20 +314,31 @@ def simhash_dedup_incremental(new_df: DataFrame, store: DataFrame,
     smaller-keyed new document's — simhash differs in at most
     ``max_hamming`` bits.
 
-    Scale shape (pigeonhole block join): the 64-bit sketch splits into
-    ``max_hamming + 1`` contiguous blocks; two hashes within distance d
-    must agree EXACTLY on at least one block, so candidates come from an
-    equi-join on (block index, block value) — never an all-pairs scan —
-    and verify with one native ``bit_count(a ^ b)``. Each side explodes
-    to d+1 rows of (key, blk, 16-bit val); shuffles carry 20-byte
-    triples. ``max_bucket`` drops degenerate (blk, val) buckets (the
-    all-zeros block of empty-ish docs) exactly like the MinHash ops —
-    at d=3 each block holds 16 bits, so random 64-bit sketches spread
-    across 65k values per block and organic buckets stay small."""
+    Scale shape (pigeonhole combination join): the 64-bit sketch splits
+    into ``n_blocks`` contiguous blocks (default d+1) and every
+    combination of ``n_blocks - d`` blocks concatenates into one join
+    key; a pair within distance d differs in at most d blocks, so it
+    agrees exactly on every block of at least one combination —
+    candidates come from an equi-join on (combination, key), never an
+    all-pairs scan, and verify with one native ``bit_count(a ^ b)``.
+
+    ``n_blocks`` trades row amplification against bucket size — the
+    Manku table-count/precision knob: each side emits C(n_blocks, n-d)
+    rows per doc, and a bucket key carries ~64*(n-d)/n bits, so the
+    EXPECTED organic bucket size is n_docs / 2^bits. The d+1 default
+    (one 16-bit block per key at d=3) is right up to ~10^9 docs; at
+    10^11-10^12 use n_blocks=8 (56 combos, 40-bit keys: buckets stay
+    O(1), amplification 56x of 20-byte triples ~ 1 KB/doc — still far
+    cheaper than the text it replaces). ``max_bucket`` deny-lists
+    degenerate buckets (the all-zeros sketch of empty-ish docs) exactly
+    like the MinHash ops."""
     new_sims = simhash_store(new_df, text_col, key_col)
-    n_blocks = max_hamming + 1
-    new_b = _simhash_blocks(new_sims, n_blocks)
-    old_b = _simhash_blocks(store, n_blocks)
+    b = n_blocks or (max_hamming + 1)
+    if b <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming")
+    need = b - max_hamming
+    new_b = _simhash_combo_keys(new_sims, b, need)
+    old_b = _simhash_combo_keys(store, b, need)
     oversized = (new_b.select("blk", "val")
                  .unionAll(old_b.select("blk", "val"))
                  .groupBy("blk", "val")

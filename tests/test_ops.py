@@ -1367,6 +1367,16 @@ def test_simhash_dedup_incremental(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
 
+    # the generalized Manku blocking (n_blocks > d+1: combination keys,
+    # the 10^12-doc bucket-size knob) must find the SAME pairs — the
+    # pigeonhole guarantees no candidate is lost at any block count
+    out8 = sorted(r.doc_id for r in
+                  simhash_dedup_incremental(new, store, max_hamming=d,
+                                            n_blocks=8).collect())
+    assert out8 == out
+    with pytest.raises(ValueError, match="n_blocks"):
+        simhash_dedup_incremental(new, store, max_hamming=3, n_blocks=3)
+
 
 def test_preprocess_corpus_incremental_store(spark):
     """The facade's day-2 mode: dedup_store routes the exact stage
