@@ -81,7 +81,7 @@ def frequent_items(df: DataFrame, col: str, k: int = 10) -> DataFrame:
 def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str,
                    k: int, ascending: bool = True,
                    tiebreak_col: str | None = None,
-                   n_salts: int = 32) -> DataFrame:
+                   n_salts: int = 256) -> DataFrame:
     """Top-``k`` rows per group by ``order_col`` — WITHOUT the window
     trap: ``row_number() over (partition by g order by o)`` shuffles and
     SORTS every group on one task, so a degenerate group (one host with
@@ -89,8 +89,16 @@ def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str,
     aggregation instead (the exact_duplicates r4 pattern, generalized):
     stage 1 keeps the k best rows per (group, salt) lane — every member
     of the global top-k survives its lane's slice — and stage 2 merges
-    <= n_salts * k rows per group; no task ever holds more than a lane.
-    Both stages are algebraic (map-side partial collect + slice).
+    <= n_salts * k rows per group. Both stages are algebraic (map-side
+    partial collect + slice).
+
+    ``n_salts`` is the lane-memory knob: a stage-1 reducer materializes
+    its whole lane (group_size / n_salts rows) in one collect_list
+    before slicing, so size it for the LARGEST group (10^9-row group /
+    256 salts ~ 4M rows per lane; raise n_salts for worse skew). Extra
+    salts are nearly free — each input row still lands in exactly one
+    lane, and only the stage-2 merge arrays (<= n_salts * k per group)
+    grow.
 
     Ordering is (order_col, tiebreak_col) ascending, or descending on a
     NUMERIC order_col with ``ascending=False`` (implemented by keyed

@@ -43,8 +43,11 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     lane-resident member of the global answer survives its lane's slice,
     so the stage-2 merge of <= n_salts * max_members elements is EXACTLY
     the global smallest set; counts sum exactly. No task ever holds more
-    than a lane's slice. ``max_members=0`` skips the member list
-    entirely (fp + n_dups only)."""
+    than ONE LANE (group_size / 32 keys — the collect_list materializes
+    the lane before the slice; a salt count is the lane-memory knob, see
+    dataset_checks.topk_per_group's n_salts for the parameterized
+    version). ``max_members=0`` skips the member list entirely (fp +
+    n_dups only)."""
     fp = F.md5(normalize_text(F.col(text_col))).alias("fp")
     base = df.select(fp, F.col(key_col))
     if not max_members:
