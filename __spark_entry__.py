@@ -892,6 +892,18 @@ def q_embedding_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             .select("vec_id"))
 
 
+def q_drift_nchars_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift over n_chars histogram
+    buckets (ops/dataset_checks.py::histogram_drift_ks) — the
+    distribution-free member of the drift family; same half-split as
+    the KL histogram row."""
+    d = _t(spark, sf_dir, "documents")
+    half = d.agg(F.max("doc_id")).collect()[0][0] // 2
+    return dc.histogram_drift_ks(d.filter(F.col("doc_id") <= half),
+                                 d.filter(F.col("doc_id") > half),
+                                 "n_chars", bucket_width=100.0)
+
+
 def q_drift_lang_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index over the same half-split as
     drift_lang_kl (the symmetrized-KL risk-monitoring standard)."""
@@ -1111,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "topk_per_group": q_topk_per_group_events,
         "group_sample": q_group_sample_events,
+        "drift_nchars_ks": q_drift_nchars_ks,
     }
 
 
@@ -1722,6 +1735,22 @@ def oracle_sql() -> dict[str, str]:
                                     event_id) AS rn
                 FROM events
             ) WHERE rn <= 5
+        """,
+        "drift_nchars_ks": """
+            WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+            p AS (SELECT floor(n_chars / 100) AS bucket, count(*) * 1.0 /
+                      (SELECT count(*) FROM documents, half WHERE doc_id <= h) AS p
+                  FROM documents, half WHERE doc_id <= h GROUP BY 1),
+            q AS (SELECT floor(n_chars / 100) AS bucket, count(*) * 1.0 /
+                      (SELECT count(*) FROM documents, half WHERE doc_id > h) AS q
+                  FROM documents, half WHERE doc_id > h GROUP BY 1),
+            j AS (SELECT coalesce(p.bucket, q.bucket) AS bucket,
+                         coalesce(p.p, 0.0) AS p, coalesce(q.q, 0.0) AS q
+                  FROM p FULL OUTER JOIN q ON p.bucket = q.bucket)
+            SELECT round(max(d), 6) AS ks_statistic FROM (
+                SELECT abs(sum(p) OVER w - sum(q) OVER w) AS d
+                FROM j WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            )
         """,
     })
     return out

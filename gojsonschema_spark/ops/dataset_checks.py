@@ -28,6 +28,7 @@ __all__ = [
     "categorical_drift_psi",
     "categorical_drift_js",
     "histogram_drift_kl",
+    "histogram_drift_ks",
     "frequent_items",
     "topk_per_group",
     "group_sample",
@@ -204,6 +205,37 @@ def histogram_drift_kl(df_p: DataFrame, df_q: DataFrame, col: str,
     b = (F.floor(F.col(col) / F.lit(bucket_width))).alias("bucket")
     return categorical_drift_kl(df_p.select(b), df_q.select(b), "bucket",
                                 round_to=round_to)
+
+
+def histogram_drift_ks(df_p: DataFrame, df_q: DataFrame, col: str,
+                       bucket_width: float, round_to: int = 6) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over a numeric column,
+    computed on fixed-width histogram buckets: D = max |CDF_p - CDF_q|
+    at bucket granularity — the distribution-FREE drift score (no
+    support convention to choose: empty buckets on either side
+    contribute through the cumulative sums; D is exact for the bucketed
+    distributions and lower-bounds the continuous D by at most one
+    bucket's mass).
+
+    Scale shape: each side reduces to |buckets| rows in one scan
+    (normalized via a global window like the categorical monitors), the
+    full-outer bucket alignment and cumulative sums run over <=
+    |buckets| rows, and the max is a scalar — nothing scales with the
+    data."""
+    from pyspark.sql.window import Window
+
+    b = (F.floor(F.col(col) / F.lit(bucket_width))).alias("bucket")
+    p = _cat_dist(df_p.select(b), "bucket", "p")
+    q = _cat_dist(df_q.select(b), "bucket", "q")
+    joined = (p.join(q, on="bucket", how="full_outer")
+              .select("bucket",
+                      F.coalesce("p", F.lit(0.0)).alias("p"),
+                      F.coalesce("q", F.lit(0.0)).alias("q")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    diff = F.abs(F.sum("p").over(w) - F.sum("q").over(w))
+    return (joined.select(diff.alias("d"))
+            .agg(F.round(F.max("d"), round_to).alias("ks_statistic")))
 
 
 def categorical_drift_psi(df_p: DataFrame, df_q: DataFrame, col: str,

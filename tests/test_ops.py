@@ -602,6 +602,27 @@ def test_range_join(spark):
     assert by_tag["p2"] == 7 and by_tag["p3"] is None  # 240s > 95s stale
 
 
+def test_histogram_drift_ks(spark):
+    """Two-sample KS over histogram buckets: hand-computed D on a known
+    pair (P = {0..9: 0.25 each over 4 buckets of width 1 at values
+    0,1,2,3}, Q shifted right by 2 buckets -> D = 0.5), symmetry, zero
+    self-drift, and one-sided buckets counted through the CDF."""
+    p_df = spark.createDataFrame([(float(v),) for v in (0, 1, 2, 3)], ["x"])
+    q_df = spark.createDataFrame([(float(v),) for v in (2, 3, 4, 5)], ["x"])
+    ks = dc.histogram_drift_ks(p_df, q_df, "x", 1.0).collect()[0].ks_statistic
+    # CDFs: P = .25 .5 .75 1 1 1 ; Q = 0 0 .25 .5 .75 1 -> max diff 0.5
+    assert ks == 0.5
+    ks_rev = dc.histogram_drift_ks(q_df, p_df, "x", 1.0) \
+        .collect()[0].ks_statistic
+    assert ks_rev == ks  # symmetric
+    assert dc.histogram_drift_ks(p_df, p_df, "x", 1.0) \
+        .collect()[0].ks_statistic == 0.0
+    # disjoint supports -> D = 1
+    r_df = spark.createDataFrame([(100.0,), (101.0,)], ["x"])
+    assert dc.histogram_drift_ks(p_df, r_df, "x", 1.0) \
+        .collect()[0].ks_statistic == 1.0
+
+
 def test_asof_range_join_randomized(spark):
     """Seeded randomized equivalence: asof_join vs pandas.merge_asof
     (an independent reference implementation) and range_join vs a
