@@ -982,6 +982,50 @@ def q_group_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.group_sample(e, ["user_id"], k=5, id_col="event_id", seed=7)
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (ops/html.py::extract_text_native, the
+    zero-Python regexp chain behind the byte-identical-text-per-url
+    invariant). Markup-rich html is constructed in-query around each
+    document's text — title charref, style/script suppression (script
+    body contains a literal '</p>'), comment, quoted '&amp;' attribute,
+    entity-wrapped body — and the DuckDB oracle derives the expected
+    text ANALYTICALLY from the construction, not by mirroring the
+    regexes, so the two derivations are independent."""
+    from gojsonschema_spark.ops.html import extract_text_native
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.encode(F.concat(
+        F.lit("<html><head><title>Doc&nbsp;"), F.col("doc_id").cast("string"),
+        F.lit('</title><style media="x">p{color:red}</style></head>'
+              "<body><!-- "),
+        F.col("lang"),
+        F.lit(' --><p class="a&amp;b">&quot;'), F.col("text"),
+        F.lit('&quot;</p><script type="t">var s = "</p>";</script>'
+              "<div id=x>end</div></body></html>")), "utf-8")
+    return d.select("doc_id", extract_text_native(html).alias("extracted"))
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (ops/html.py::extract_links — one native
+    regexp_extract_all, the web-graph seed op). Anchors are constructed
+    in-query (double- and single-quoted hrefs, an entity-escaped query
+    separator, a no-href <a> that must NOT extract); the oracle emits
+    the expected link set analytically."""
+    from gojsonschema_spark.ops.html import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><a class="o" href="https://'), F.col("lang"),
+        F.lit(".example.com/d/"), F.col("doc_id").cast("string"),
+        F.lit("?s="), F.col("source"),
+        F.lit('&amp;v=1">x</a><a name=skip>n</a>'),
+        F.lit("<a href='/rel/"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("'>r</a></body></html>"))
+    return d.select(
+        "doc_id",
+        F.explode(extract_links(html, is_binary=False)).alias("link"))
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1124,6 +1168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group_events,
         "group_sample": q_group_sample_events,
         "drift_nchars_ks": q_drift_nchars_ks,
+        "html_extract": q_html_extract,
+        "html_links": q_html_links,
     }
 
 
@@ -1751,6 +1797,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT abs(sum(p) OVER w - sum(q) OVER w) AS d
                 FROM j WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
             )
+        """,
+        # analytic expectation (independent of the Spark regex chain):
+        # the in-query markup reduces to 'Doc <id> "<text>" end'
+        "html_extract": """
+            SELECT doc_id,
+                   'Doc ' || doc_id || ' "' || text || '" end' AS extracted
+            FROM documents
+        """,
+        "html_links": """
+            SELECT doc_id,
+                   'https://' || lang || '.example.com/d/' || doc_id ||
+                   '?s=' || source || '&v=1' AS link
+            FROM documents
+            UNION ALL
+            SELECT doc_id, '/rel/' || (doc_id % 7) AS link FROM documents
         """,
     })
     return out

@@ -144,6 +144,12 @@ def bench_queries(spark) -> dict[str, float]:
     run("quality_scores", lambda: tx.quality_score(pages.select("text"))
         .agg(F.round(F.avg("stop_ratio"), 6), F.round(F.avg("mean_tok_len"), 6),
              F.sum("n_tokens")).collect())
+    # html -> text: the native regexp chain (zero Python, scan-fused) —
+    # the byte-identity invariant's fast path over the binary html column
+    from gojsonschema_spark.ops.html import extract_text_native
+    run("html_extract_native", lambda: pages.select(
+        extract_text_native(F.col("html")).alias("t"))
+        .agg(F.sum(F.length("t"))).collect())
     run("dedup_minhash_docs", lambda: dd.minhash_lsh_pairs(
         spark.read.parquet(f"{SF_DIR}/documents.parquet"),
         num_hashes=32, bands=8).count())

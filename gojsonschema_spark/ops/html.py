@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import StringType
 
 __all__ = ["extract_text_native", "extract_text", "html_to_text",
-           "NATIVE_ENTITIES"]
+           "extract_links", "NATIVE_ENTITIES"]
 
 # Named references the native path decodes, in application order.
 # ``&amp;`` MUST be last so "&amp;lt;" decodes to the literal "&lt;",
@@ -97,6 +97,27 @@ def extract_text_native(html_col: Column, *, is_binary: bool = True) -> Column:
     for ent, ch in NATIVE_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(s, _WS_JAVA, " "))
+
+
+def extract_links(html_col: Column, *, is_binary: bool = True) -> Column:
+    """Outlink (href) extraction as a single native ``regexp_extract_all``
+    — the first step of any web-graph build (host graph, PageRank seeds,
+    crawl frontiers). Zero Python, pipelines with the scan.
+
+    Scope: double- or single-quoted ``href`` values on ``<a>`` tags
+    (the overwhelmingly dominant form in real markup); ``&amp;`` inside
+    URLs is decoded (query separators are routinely entity-escaped in
+    conforming HTML). Unquoted hrefs and hrefs behind a quoted ``>``
+    earlier in the same tag are out of scope — documented, like the
+    native extractor's charref scope.
+    """
+    s = _html_string(html_col) if is_binary else html_col
+    quoted = F.regexp_extract_all(
+        s, F.lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*')"), 1)
+    return F.transform(
+        quoted,
+        lambda u: F.replace(F.substring(u, F.lit(2), F.length(u) - 2),
+                            F.lit("&amp;"), F.lit("&")))
 
 
 class _TextParser(HTMLParser):

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gojsonschema_spark.ops.html import (
-    extract_text, extract_text_native, html_to_text)
+    extract_links, extract_text, extract_text_native, html_to_text)
 from gojsonschema_spark.ops.webpages import generate_webpages
 
 # Markup both engines must agree on byte-for-byte (no numeric charrefs,
@@ -99,6 +99,28 @@ def test_injected_extractor(spark):
     got = extract_text(df, "html", "t",
                        extractor=lambda b: f"len={len(b)}").first().t
     assert got == "len=8"
+
+
+def test_extract_links(spark):
+    html = ('<a href="https://a.com/x?p=1&amp;q=2">A</a> '
+            "<A HREF='h://b'>B</A> <a name=x>no href</a> "
+            '<a data-href="no" href="c">C</a> <link href="css">'
+            '<a\n  class="z"\n  href = "d">D</a>').encode()
+    df = spark.createDataFrame([(0, html), (1, b"no anchors"), (2, None)],
+                               "id long, html binary")
+    rows = df.select("id", extract_links(F.col("html")).alias("l")) \
+             .orderBy("id").collect()
+    # &amp; decoded; data-href NOT an href; <link> not an <a>; multiline tag ok
+    assert rows[0].l == ["https://a.com/x?p=1&q=2", "h://b", "c", "d"]
+    assert rows[1].l == []
+    assert rows[2].l is None
+
+
+def test_extract_links_plan_is_jvm_only(spark):
+    pages = generate_webpages(spark, 100)
+    plan = pages.select(extract_links(F.col("html")).alias("l")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
 
 
 def test_native_plan_is_jvm_only(spark):
