@@ -1026,6 +1026,106 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(extract_links(html, is_binary=False)).alias("link"))
 
 
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 component split (ops/web.py::parse_url — native struct,
+    one regex pass per component). URLs are constructed in-query with
+    userinfo / mixed-case host / optional port / query / fragment, and
+    the oracle emits each component analytically from the construction
+    — independent of the parsing regexes."""
+    from gojsonschema_spark.ops.web import parse_url
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://u"), i.cast("string"),
+        F.lit("@Host"), (i % 50).cast("string"), F.lit(".Example.COM"),
+        F.when(i % 4 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/p/"), i.cast("string"),
+        F.when(i % 3 == 0, F.concat(F.lit("?b=2&a="), F.col("lang")))
+         .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("#s")).otherwise(F.lit("")))
+    p = parse_url(url)
+    return d.select(
+        "doc_id",
+        p.getField("scheme").alias("scheme"),
+        p.getField("userinfo").alias("userinfo"),
+        p.getField("host").alias("host"),
+        F.coalesce(p.getField("port"), F.lit(-1)).alias("port"),
+        p.getField("path").alias("path"),
+        F.coalesce(p.getField("query"), F.lit("")).alias("query"),
+        F.coalesce(p.getField("fragment"), F.lit("")).alias("fragment"))
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization composition (webpages.normalize_url ->
+    web.sort_query_params -> web.registered_domain): default-port strip,
+    case folding, empty-path /, fragment drop, byte-sorted query params,
+    PSL-lite registrable domain. Oracle states the canonical form
+    analytically."""
+    from gojsonschema_spark.ops.web import (
+        registered_domain, sort_query_params)
+    from gojsonschema_spark.ops.webpages import normalize_url, url_host
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("Host"), (i % 50).cast("string"),
+                    F.lit(".Web"), (i % 5).cast("string"), F.lit(".CO.UK"))
+    url = F.when(i % 2 == 0, F.concat(
+        F.lit("HTTPS://"), host, F.lit(":443/a/p"), i.cast("string"),
+        F.lit("?z=1&a="), F.col("lang"), F.lit("#f"))
+    ).otherwise(F.concat(F.lit("http://"), host, F.lit(":80?b=2&a=1")))
+    norm = sort_query_params(normalize_url(url))
+    return d.select(
+        "doc_id", norm.alias("norm_url"),
+        registered_domain(url_host(norm)).alias("domain"))
+
+
+def q_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph composition (html.extract_links -> web.resolve_link ->
+    graph.host_link_graph -> graph.host_degrees): anchors constructed
+    in-query (absolute, root-relative = self-host, protocol-relative
+    that collides with the source host for doc_id % 10 == 0 — both
+    excluded as self edges). Oracle derives the edge set analytically
+    and aggregates degrees in SQL."""
+    from gojsonschema_spark.ops.graph import host_degrees, host_link_graph
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    src_host = F.concat(F.lit("h"), (i % 20).cast("string"),
+                        F.lit(".ex.com"))
+    url = F.concat(F.lit("https://"), src_host, F.lit("/d/"),
+                   i.cast("string"))
+    html = F.concat(
+        F.lit('<a href="https://h'), ((i + 1) % 20).cast("string"),
+        F.lit('.ex.com/x">a</a><a href="/l/'), (i % 7).cast("string"),
+        F.lit('">self</a>'),
+        F.lit("<a href='//h"), ((i * 3) % 20).cast("string"),
+        F.lit(".ex.com/y'>p</a>"))
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return host_degrees(host_link_graph(pages, is_binary=False))
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank power iteration (ops/graph.py::pagerank, decimal-sum
+    deterministic, 2 jobs/iteration) over a weighted bipartite-ish
+    graph built from documents (lang -> source edges weighted by count;
+    source -> lang back-edges from even doc_ids only, so some sources
+    are dangling at small SFs). Fixed 3 iterations; the oracle unrolls
+    the same recurrence in SQL, rounded to 7 decimals on both sides."""
+    from gojsonschema_spark.ops.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    e1 = d.groupBy(F.col("lang").alias("src"),
+                   F.col("source").alias("dst")).agg(
+        F.count(F.lit(1)).alias("n_links"))
+    e2 = (d.filter(F.col("doc_id") % 2 == 0)
+           .groupBy(F.col("source").alias("src"),
+                    F.col("lang").alias("dst"))
+           .agg(F.count(F.lit(1)).alias("n_links")))
+    ranks = pagerank(e1.unionByName(e2), max_iter=3, tol=None)
+    return ranks.select("host", F.round("rank", 7).alias("rank"))
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1170,6 +1270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_nchars_ks": q_drift_nchars_ks,
         "html_extract": q_html_extract,
         "html_links": q_html_links,
+        "url_parse": q_url_parse,
+        "url_normalize": q_url_normalize,
+        "host_degrees": q_host_degrees,
+        "pagerank_hosts": q_pagerank_hosts,
     }
 
 
@@ -1812,6 +1916,111 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             UNION ALL
             SELECT doc_id, '/rel/' || (doc_id % 7) AS link FROM documents
+        """,
+        # each URL component stated analytically from the construction,
+        # independent of parse_url's regexes
+        "url_parse": """
+            SELECT doc_id,
+                   'https' AS scheme,
+                   'u' || doc_id AS userinfo,
+                   'host' || (doc_id % 50) || '.example.com' AS host,
+                   CASE WHEN doc_id % 4 = 0 THEN 8443 ELSE -1 END AS port,
+                   '/p/' || doc_id AS path,
+                   CASE WHEN doc_id % 3 = 0 THEN 'b=2&a=' || lang
+                        ELSE '' END AS "query",
+                   CASE WHEN doc_id % 5 = 0 THEN 's' ELSE '' END AS fragment
+            FROM documents
+        """,
+        "url_normalize": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                       'https://host' || (doc_id % 50) || '.web' ||
+                       (doc_id % 5) || '.co.uk/a/p' || doc_id ||
+                       '?a=' || lang || '&z=1'
+                   ELSE
+                       'http://host' || (doc_id % 50) || '.web' ||
+                       (doc_id % 5) || '.co.uk/?a=1&b=2'
+                   END AS norm_url,
+                   'web' || (doc_id % 5) || '.co.uk' AS domain
+            FROM documents
+        """,
+        # analytic edge set: absolute -> (i+1)%20, protocol-relative ->
+        # (3i)%20 (self-colliding when i%10=0, excluded), root-relative
+        # resolves to the source host (always excluded)
+        "host_degrees": """
+            WITH e0 AS (
+                SELECT 'h' || (doc_id % 20) || '.ex.com' AS src,
+                       'h' || ((doc_id + 1) % 20) || '.ex.com' AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'h' || (doc_id % 20) || '.ex.com',
+                       'h' || ((doc_id * 3) % 20) || '.ex.com'
+                FROM documents
+            ), e AS (
+                SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+                FROM e0 WHERE src <> dst GROUP BY src, dst
+            ), o AS (
+                SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS out_degree,
+                       CAST(SUM(n) AS BIGINT) AS out_links
+                FROM e GROUP BY src
+            ), i AS (
+                SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS in_degree,
+                       CAST(SUM(n) AS BIGINT) AS in_links
+                FROM e GROUP BY dst
+            )
+            SELECT COALESCE(o.host, i.host) AS host,
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(out_links, 0) AS out_links,
+                   COALESCE(in_degree, 0) AS in_degree,
+                   COALESCE(in_links, 0) AS in_links
+            FROM o FULL OUTER JOIN i ON o.host = i.host
+        """,
+        # the PageRank recurrence unrolled for exactly 3 iterations:
+        # r'(v) = (1-d)/N + d*(inflow(v) + dangling/N), d = 0.85
+        "pagerank_hosts": """
+            WITH e0 AS (
+                SELECT lang AS src, source AS dst,
+                       CAST(COUNT(*) AS DOUBLE) AS w
+                FROM documents GROUP BY lang, source
+                UNION ALL
+                SELECT source, lang, CAST(COUNT(*) AS DOUBLE)
+                FROM documents WHERE doc_id % 2 = 0 GROUP BY source, lang
+            ), outw AS (
+                SELECT src, SUM(w) AS tw FROM e0 GROUP BY src
+            ), e AS (
+                SELECT e0.src, e0.dst, e0.w / outw.tw AS frac
+                FROM e0 JOIN outw ON e0.src = outw.src
+            ), nodes AS (
+                SELECT DISTINCT h AS host FROM (
+                    SELECT src AS h FROM e0
+                    UNION SELECT dst FROM e0)
+            ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+            r0 AS (SELECT host, 1.0 / cnt AS r FROM nodes CROSS JOIN nn),
+            d0 AS (SELECT COALESCE(SUM(r), 0) AS dang FROM r0
+                   WHERE host NOT IN (SELECT src FROM outw)),
+            c0 AS (SELECT e.dst AS host, SUM(r0.r * e.frac) AS inflow
+                   FROM e JOIN r0 ON e.src = r0.host GROUP BY e.dst),
+            r1 AS (SELECT n.host, 0.15 / nn.cnt + 0.85 *
+                          (COALESCE(c0.inflow, 0) + d0.dang / nn.cnt) AS r
+                   FROM nodes n CROSS JOIN nn CROSS JOIN d0
+                   LEFT JOIN c0 ON c0.host = n.host),
+            d1 AS (SELECT COALESCE(SUM(r), 0) AS dang FROM r1
+                   WHERE host NOT IN (SELECT src FROM outw)),
+            c1 AS (SELECT e.dst AS host, SUM(r1.r * e.frac) AS inflow
+                   FROM e JOIN r1 ON e.src = r1.host GROUP BY e.dst),
+            r2 AS (SELECT n.host, 0.15 / nn.cnt + 0.85 *
+                          (COALESCE(c1.inflow, 0) + d1.dang / nn.cnt) AS r
+                   FROM nodes n CROSS JOIN nn CROSS JOIN d1
+                   LEFT JOIN c1 ON c1.host = n.host),
+            d2 AS (SELECT COALESCE(SUM(r), 0) AS dang FROM r2
+                   WHERE host NOT IN (SELECT src FROM outw)),
+            c2 AS (SELECT e.dst AS host, SUM(r2.r * e.frac) AS inflow
+                   FROM e JOIN r2 ON e.src = r2.host GROUP BY e.dst),
+            r3 AS (SELECT n.host, 0.15 / nn.cnt + 0.85 *
+                          (COALESCE(c2.inflow, 0) + d2.dang / nn.cnt) AS r
+                   FROM nodes n CROSS JOIN nn CROSS JOIN d2
+                   LEFT JOIN c2 ON c2.host = n.host)
+            SELECT host, ROUND(r, 7) AS rank FROM r3
         """,
     })
     return out

@@ -150,6 +150,26 @@ def bench_queries(spark) -> dict[str, float]:
     run("html_extract_native", lambda: pages.select(
         extract_text_native(F.col("html")).alias("t"))
         .agg(F.sum(F.length("t"))).collect())
+    # web graph: href extraction -> RFC 3986 resolution -> host-pair
+    # aggregation over the full page count (anchors synthesized in-query
+    # — the generated corpus html carries no links), then PageRank over
+    # the materialized edge set (3 power iterations, 2 jobs each)
+    from gojsonschema_spark.ops.graph import host_link_graph, pagerank
+    linky = pages.select(
+        "url",
+        F.concat(F.lit('<a href="https://host'),
+                 (F.abs(F.xxhash64("url")) % 500).cast("string"),
+                 F.lit('.example.com/x">a</a><a href="../p/'),
+                 (F.abs(F.xxhash64("url", F.lit(2))) % 97).cast("string"),
+                 F.lit('">r</a>')).alias("html"))
+    run("host_link_graph", lambda: host_link_graph(linky, is_binary=False)
+        .agg(F.count(F.lit(1)), F.sum("n_links")).collect(), reps=2)
+    graph_edges = host_link_graph(linky, is_binary=False).persist()
+    graph_edges.count()
+    run("pagerank_3iter", lambda: pagerank(
+        graph_edges, max_iter=3, tol=None)
+        .agg(F.sum("rank"), F.count(F.lit(1))).collect(), reps=2)
+    graph_edges.unpersist()
     run("dedup_minhash_docs", lambda: dd.minhash_lsh_pairs(
         spark.read.parquet(f"{SF_DIR}/documents.parquet"),
         num_hashes=32, bands=8).count())
