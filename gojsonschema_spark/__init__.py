@@ -14,6 +14,14 @@ from .core.compiler import Draft, SchemaCompiler, CompiledSchema, compile_schema
 from .core.errors import Result, SchemaCompileError, Violation
 from .core.formats import FormatRegistry, default_registry
 
+# Self-shipping for pandas-UDF closures must engage on ANY entry into
+# the package (a user importing only ops.multimodal still ships UDF
+# callables to executors) — not just via the spark subpackage.
+from .spark import _register_by_value as _rbv  # noqa: E402
+
+_rbv()
+del _rbv
+
 __all__ = [
     "Draft",
     "SchemaCompiler",

@@ -1,18 +1,23 @@
 """REAL pure-stdlib media codecs for the multimodal operators.
 
 The container has no PIL/libav, but PNG (RFC 2083: zlib + per-scanline
-filters) and WAV (RIFF PCM, stdlib ``wave``) need nothing beyond
-zlib/struct/wave + numpy — so these are actual decoders, not stubs: a
-user can extract real image statistics, resize a real PNG, or compute
-real audio features without injecting anything. They plug into
-ops/multimodal.py's ``decoder=`` / ``resizer=`` hooks (whose defaults
-remain the fast deterministic stubs) via :func:`png_feature_decoder`,
-:func:`png_resizer`, :func:`wav_feature_decoder`.
+filters), WAV (RIFF PCM, stdlib ``wave``) and Y4M video (YUV4MPEG2 —
+uncompressed planar frames behind a plain-text header) need nothing
+beyond zlib/struct/wave + numpy — so these are actual decoders, not
+stubs: a user can extract real image statistics, resize a real PNG,
+compute real audio features, or sample real video frames without
+injecting anything. They plug into ops/multimodal.py's ``decoder=`` /
+``resizer=`` / ``sampler=`` hooks (whose defaults remain the fast
+deterministic stubs) via :func:`png_feature_decoder`,
+:func:`png_resizer`, :func:`wav_feature_decoder`,
+:func:`y4m_frame_sampler`.
 
 Scope (documented, raises beyond it): PNG bit depth 8, color types
 0/2/4/6 (grey, RGB, grey+alpha, RGBA), non-interlaced — the shapes a
 web-crawl thumbnail pipeline actually processes; WAV 8/16-bit integer
-PCM. Executors import only stdlib + numpy; payloads decode row-batch at
+PCM; Y4M 420/422/444/mono colourspaces (luma plane read, chroma
+skipped; compressed codecs like h264 remain injection points).
+Executors import only stdlib + numpy; payloads decode row-batch at
 a time inside mapInPandas, never on the driver.
 """
 
@@ -24,7 +29,8 @@ import zlib
 import numpy as np
 
 __all__ = ["decode_png", "encode_png", "png_feature_decoder", "png_resizer",
-           "decode_wav", "encode_wav", "wav_feature_decoder"]
+           "decode_wav", "encode_wav", "wav_feature_decoder",
+           "decode_y4m", "encode_y4m", "y4m_frame_sampler"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
@@ -250,3 +256,101 @@ def wav_feature_decoder(payload: bytes) -> list:
             float(np.sqrt(np.mean(mono ** 2))) if len(mono) else 0.0,
             float(np.max(np.abs(mono))) if len(mono) else 0.0,
             zcr]
+
+
+# --- Y4M (YUV4MPEG2) video ---------------------------------------------
+#
+# The one video container decodable with pure stdlib: a plain-text
+# header ("YUV4MPEG2 W<w> H<h> F<num>:<den> ... \n") followed by
+# uncompressed frames, each "FRAME...\n" + raw planar YUV bytes. It is
+# the interchange format of ffmpeg/x264 pipelines, so a real pipeline
+# can transcode crawl video to Y4M out-of-band and run THIS sampler
+# distributed; compressed codecs (h264 etc.) remain injection points on
+# multimodal.sample_frames(sampler=).
+
+_Y4M_PLANES = {          # colourspace -> chroma plane size factor
+    "420": 0.25, "420jpeg": 0.25, "420mpeg2": 0.25, "420paldv": 0.25,
+    "422": 0.5, "444": 1.0, "mono": 0.0,
+}
+
+
+def decode_y4m(payload: bytes):
+    """Parse a YUV4MPEG2 stream -> (luma_frames, (fps_num, fps_den)).
+    Each frame is the (H, W) uint8 luma plane (chroma is skipped, not
+    interpreted — sampling/thumbnailing pipelines are luma-driven).
+    Raises ValueError on a malformed header or truncated frame (crawl
+    payloads must fail loudly, not silently drop tails)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    width = height = None
+    num, den = 30, 1
+    cs = "420"
+    for param in payload[9:nl].split():
+        tag, val = chr(param[0]), param[1:].decode("ascii")
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, den = (int(x) for x in val.split(":"))
+        elif tag == "C":
+            cs = val
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if cs not in _Y4M_PLANES:
+        raise ValueError(f"unsupported Y4M colourspace C{cs}")
+    luma = width * height
+    chroma = int(luma * _Y4M_PLANES[cs]) * 2
+    frames = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"malformed Y4M: no FRAME marker at {pos}")
+        fnl = payload.index(b"\n", pos)
+        start = fnl + 1
+        if start + luma + chroma > n:
+            raise ValueError("malformed Y4M: truncated frame")
+        frames.append(np.frombuffer(
+            payload[start:start + luma], dtype=np.uint8)
+            .reshape(height, width).copy())
+        pos = start + luma + chroma
+    return frames, (num, den)
+
+
+def encode_y4m(frames, fps: tuple[int, int] = (30, 1)) -> bytes:
+    """Serialize (H, W) uint8 luma frames as a Cmono YUV4MPEG2 stream
+    (the write half of the round-trip pin; also handy for emitting
+    sampled sub-clips)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("cannot encode empty frame list")
+    h, w = frames[0].shape
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+        .encode("ascii"))
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("inconsistent frame shapes")
+        out += b"FRAME\n" + f.tobytes()
+    return bytes(out)
+
+
+def y4m_frame_sampler(payload: bytes, every_ms: int):
+    """Real frame sampler for multimodal.sample_frames(sampler=...):
+    decodes the Y4M stream and emits (index, PNG-encoded luma frame,
+    timestamp_ms) every ``every_ms`` of stream time (always including
+    frame 0) — sampled video frames flow straight into the PNG
+    feature/resize operators."""
+    frames, (num, den) = decode_y4m(payload)
+    if num <= 0 or den <= 0:
+        raise ValueError("bad Y4M frame rate")
+    out = []
+    next_ts = 0.0
+    for i, frame in enumerate(frames):
+        ts = i * 1000.0 * den / num
+        if ts + 1e-9 >= next_ts:
+            out.append((i, encode_png(frame), int(round(ts))))
+            next_ts = ts + every_ms
+    return out

@@ -4,6 +4,7 @@ multimodal operators, poison-pill behavior on corrupt payloads."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from gojsonschema_spark.ops.codecs import (decode_png, decode_wav,
                                            encode_png, encode_wav,
@@ -101,3 +102,81 @@ def test_real_codecs_through_spark_multimodal(spark):
     assert resized["bad"].payload is None
     out = decode_png(bytes(resized["k0"].payload))
     assert out.shape == (4, 4, 3)
+
+
+def test_y4m_roundtrip_and_sampler():
+    from gojsonschema_spark.ops.codecs import (decode_y4m, encode_y4m,
+                                               y4m_frame_sampler)
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, size=(6, 8), dtype=np.uint8)
+              for _ in range(10)]
+    clip = encode_y4m(frames, fps=(10, 1))          # 100 ms/frame
+    back, (num, den) = decode_y4m(clip)
+    assert (num, den) == (10, 1) and len(back) == 10
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    # sample every 250 ms of a 10 fps stream: frames 0, 3, 6, 9
+    # (ts 0/300/600/900 — first frame at/after each 250 ms boundary)
+    sampled = y4m_frame_sampler(clip, every_ms=250)
+    assert [(i, ts) for i, _, ts in sampled] == [
+        (0, 0), (3, 300), (6, 600), (9, 900)]
+    # sampled frames are real PNGs of the luma plane
+    assert np.array_equal(decode_png(sampled[1][1]), frames[3][:, :, None])
+
+
+def test_y4m_c420_layout_and_failures():
+    from gojsonschema_spark.ops.codecs import decode_y4m
+
+    # hand-built C420 stream: luma plane read, chroma skipped
+    luma = bytes(range(16))                          # 4x4
+    chroma = b"\x80" * 8                             # two 2x2 planes
+    clip = (b"YUV4MPEG2 W4 H4 F25:1 C420\n"
+            b"FRAME\n" + luma + chroma +
+            b"FRAME\n" + luma[::-1] + chroma)
+    frames, fps = decode_y4m(clip)
+    assert fps == (25, 1) and len(frames) == 2
+    assert frames[0].tolist()[0] == [0, 1, 2, 3]
+    assert frames[1].tolist()[0] == [15, 14, 13, 12]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(clip[:-5])
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="colourspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C999\nFRAME\n" + b"\0" * 6)
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 Cmono\nXRAME\n" + b"\0" * 4)
+
+
+def test_y4m_through_spark_sample_frames(spark):
+    """Video -> sampled PNG frames -> real image features, all through
+    the distributed multimodal plumbing (one output row per frame)."""
+    from gojsonschema_spark.ops.codecs import (encode_y4m,
+                                               png_feature_decoder,
+                                               y4m_frame_sampler)
+    from gojsonschema_spark.ops.multimodal import (extract_features,
+                                                   sample_frames)
+
+    rng = np.random.RandomState(7)
+    clips = {f"v{i}": encode_y4m(
+        [rng.randint(0, 256, (4, 4), dtype=np.uint8) for _ in range(6)],
+        fps=(5, 1)) for i in range(3)}               # 200 ms/frame
+    rows = [(k, bytearray(v)) for k, v in clips.items()]
+    rows.append(("bad", bytearray(b"mp4?")))
+    df = spark.createDataFrame(rows, "key string, payload binary")
+
+    out = sample_frames(df, every_ms=400, sampler=y4m_frame_sampler)
+    got = [(r.key, r.frame_idx, r.ts_ms, r.frame is not None)
+           for r in out.orderBy("key", "frame_idx").collect()]
+    want = [(f"v{i}", idx, ts, True)
+            for i in range(3) for idx, ts in [(0, 0), (2, 400), (4, 800)]]
+    assert got == [("bad", 0, 0, False)] + want
+    # frames feed the image feature op: width=height=4, 1 channel
+    feats = extract_features(
+        out.filter(F.col("frame").isNotNull())
+           .select(F.concat_ws("#", "key", "frame_idx").alias("key"),
+                   F.col("frame").alias("payload")),
+        decoder=png_feature_decoder)
+    f = feats.collect()
+    assert len(f) == 9
+    assert all(r.feature[0] == 4.0 and r.feature[2] == 1.0 for r in f)
