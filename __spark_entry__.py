@@ -1126,6 +1126,37 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("host", F.round("rank", 7).alias("rank"))
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (ops/text.py::c4_quality_filter — Raffel et al.
+    2020 §2.2, map-side, one lambda pass). Documents are staged into
+    multi-line pages with a known-good 3-sentence line, a short line,
+    an unterminated line, and residue-keyed javascript / lorem-ipsum /
+    brace lines; the oracle states the retained text, sentence count
+    and page verdict analytically from the construction. (The corpus
+    carries no organic newlines/periods/braces — verified — so the
+    construction fully determines the outcome.)"""
+    from gojsonschema_spark.ops.text import c4_quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    staged_text = F.concat(
+        F.col("text"), F.lit(" ok. It works well. It ends fine."),
+        F.lit("\nToo short."),
+        F.lit("\nthis line has no terminal punctuation at all"),
+        F.when(i % 4 == 0,
+               F.lit("\nthis Javascript line would be dropped always."))
+         .otherwise(F.lit("")),
+        F.when(i % 9 == 0, F.lit("\nlorem ipsum dolor sit amet here."))
+         .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("\ncode with brace { inside this line."))
+         .otherwise(F.lit("")))
+    staged = d.select("doc_id", staged_text.alias("text"))
+    out = c4_quality_filter(staged)
+    return out.select("doc_id", "clean_text",
+                      F.col("n_sentences").cast("int").alias("n_sentences"),
+                      "keep")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1274,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "host_degrees": q_host_degrees,
         "pagerank_hosts": q_pagerank_hosts,
+        "c4_filter": q_c4_filter,
     }
 
 
@@ -2021,6 +2053,24 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes n CROSS JOIN nn CROSS JOIN d2
                    LEFT JOIN c2 ON c2.host = n.host)
             SELECT host, ROUND(r, 7) AS rank FROM r3
+        """,
+        # the surviving lines, sentence count and page verdict stated
+        # analytically from the staged construction
+        "c4_filter": """
+            SELECT doc_id,
+                   text || ' ok. It works well. It ends fine.'
+                   || CASE WHEN doc_id % 9 = 0
+                           THEN chr(10) || 'lorem ipsum dolor sit amet here.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN chr(10) ||
+                                'code with brace { inside this line.'
+                           ELSE '' END AS clean_text,
+                   3 + CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+                       AS n_sentences,
+                   (doc_id % 9 <> 0 AND doc_id % 11 <> 0) AS keep
+            FROM documents
         """,
     })
     return out

@@ -144,6 +144,14 @@ def bench_queries(spark) -> dict[str, float]:
     run("quality_scores", lambda: tx.quality_score(pages.select("text"))
         .agg(F.round(F.avg("stop_ratio"), 6), F.round(F.avg("mean_tok_len"), 6),
              F.sum("n_tokens")).collect())
+    # C4 cleaning rules over the full page count (two lines staged per
+    # page so both the keep and drop branches of the line lambda run)
+    run("c4_filter", lambda: tx.c4_quality_filter(
+        pages.select(F.concat(
+            F.col("text"), F.lit(" ok. It ends fine.\nshort line."))
+            .alias("text")))
+        .agg(F.sum(F.col("keep").cast("int")), F.sum("n_sentences"))
+        .collect())
     # html -> text: the native regexp chain (zero Python, scan-fused) —
     # the byte-identity invariant's fast path over the binary html column
     from gojsonschema_spark.ops.html import extract_text_native

@@ -1704,3 +1704,42 @@ def test_gopher_filter_published_ngram_rules(spark):
                                   max_dup_para_frac=0.30,
                                   max_dup_para_char_frac=0.20).collect()
     assert not r2.ok_dup_paras and not r2.ok_dup_para_chars and not r2.keep
+
+
+def test_c4_quality_filter(spark):
+    """The published C4 rules, line and page level, incl. the
+    plan-shape claim: map-side only (no Exchange, no Python eval)."""
+    from gojsonschema_spark.ops.text import c4_quality_filter
+
+    rows = [
+        ("good", "First line is long enough to keep.\nshort.\n"
+                 "no terminal punct line here\n"
+                 "Another fine sentence ends here! And one more now? Yes."),
+        ("js", "This Javascript line would be dropped always.\n"
+               "Keep this one since it is long. Two. Three."),
+        ("lorem", "lorem ipsum dolor sit amet here. More words here. "
+                  "Even more words now."),
+        ("brace", "A perfectly good line with braces { inside. Two here. "
+                  "Three here."),
+        ("thin", "Only one good sentence lives here."),
+        ("bad", "This line mentions a planted badword token here. Two. "
+                "Three."),
+    ]
+    df = spark.createDataFrame(rows, ["k", "text"])
+    out = {r.k: r for r in
+           c4_quality_filter(df, badwords=("badword",)).collect()}
+    assert out["good"].keep and out["good"].n_lines_kept == 2
+    assert out["good"].n_sentences == 4
+    assert out["good"].clean_text.startswith("First line")
+    assert "short." not in out["good"].clean_text
+    # the javascript LINE drops, the page survives on the other line
+    assert out["js"].keep and out["js"].n_lines_kept == 1
+    assert "Javascript" not in out["js"].clean_text
+    assert not out["lorem"].keep and not out["lorem"].ok_no_lorem_ipsum
+    assert not out["brace"].keep and not out["brace"].ok_no_brace
+    assert not out["thin"].keep and not out["thin"].ok_sentences
+    assert not out["bad"].keep and not out["bad"].ok_badwords
+    # map-side: no shuffle, no Python in the plan
+    plan = c4_quality_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
