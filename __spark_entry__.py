@@ -1157,6 +1157,41 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "keep")
 
 
+def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 crawl-permission verdicts (ops/robots.py): per-host
+    robots.txt bodies (three residue-keyed policies: prefix+allow
+    override / agent-specific total ban / $-anchored wildcard) parsed
+    into rules, then crawl_allowed for agent spark-bot over four path
+    shapes per document. The oracle states the verdict truth table
+    analytically from the (host residue, path residue) construction."""
+    from gojsonschema_spark.ops.robots import crawl_allowed, parse_robots
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h = i % 20
+    path = F.element_at(
+        F.array(F.lit("/public/a"), F.lit("/private/x"),
+                F.lit("/private/ok/y"), F.lit("/data/f.json")),
+        (i % 4 + 1).cast("int"))
+    url = F.concat(F.lit("https://h"), h.cast("string"),
+                   F.lit(".ex.com"), path)
+    pages = d.select("doc_id", url.alias("url"))
+    robots = (d.select(h.alias("hn")).distinct()
+               .select(F.concat(F.lit("h"), F.col("hn").cast("string"),
+                                F.lit(".ex.com")).alias("host"),
+                       F.when(F.col("hn") % 3 == 0, F.lit(
+                           "User-agent: *\nDisallow: /private/\n"
+                           "Allow: /private/ok/\n"))
+                        .when(F.col("hn") % 3 == 1, F.lit(
+                            "User-agent: spark-bot\nDisallow: /\n\n"
+                            "User-agent: *\nDisallow:\n"))
+                        .otherwise(F.lit(
+                            "User-agent: *\nDisallow: /*.json$\n"))
+                        .alias("robots_txt")))
+    out = crawl_allowed(pages, parse_robots(robots), agent="spark-bot")
+    return out.select("doc_id", "url", "allowed")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1306,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degrees": q_host_degrees,
         "pagerank_hosts": q_pagerank_hosts,
         "c4_filter": q_c4_filter,
+        "robots_allowed": q_robots_allowed,
     }
 
 
@@ -2070,6 +2106,22 @@ def oracle_sql() -> dict[str, str]:
                      + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
                        AS n_sentences,
                    (doc_id % 9 <> 0 AND doc_id % 11 <> 0) AS keep
+            FROM documents
+        """,
+        # verdict truth table from the (host residue, path residue)
+        # construction — independent of the parser and matcher
+        "robots_allowed": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 20) || '.ex.com' ||
+                   CASE doc_id % 4
+                       WHEN 0 THEN '/public/a'
+                       WHEN 1 THEN '/private/x'
+                       WHEN 2 THEN '/private/ok/y'
+                       ELSE '/data/f.json' END AS url,
+                   CASE (doc_id % 20) % 3
+                       WHEN 0 THEN doc_id % 4 <> 1
+                       WHEN 1 THEN FALSE
+                       ELSE doc_id % 4 <> 3 END AS allowed
             FROM documents
         """,
     })

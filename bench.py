@@ -152,6 +152,27 @@ def bench_queries(spark) -> dict[str, float]:
             .alias("text")))
         .agg(F.sum(F.col("keep").cast("int")), F.sum("n_sentences"))
         .collect())
+    # RFC 9309 crawl permission: 1000-host robots dim (policy keyed on
+    # the host hash) joined once against the full page count
+    from gojsonschema_spark.ops.robots import crawl_allowed, parse_robots
+    from gojsonschema_spark.ops.webpages import url_host
+    robots_dim = (pages.select(url_host(F.col("url")).alias("host"))
+                  .filter(F.col("host").isNotNull()).distinct()
+                  .select("host", F.when(
+                      F.xxhash64("host") % 3 == 0,
+                      F.lit("User-agent: *\nDisallow: /page/1\n"
+                            "Allow: /page/12\n"))
+                      .when(F.xxhash64("host") % 3 == 1,
+                            F.lit("User-agent: crawler\nDisallow: /\n"))
+                      .otherwise(F.lit("User-agent: *\n"
+                                       "Disallow: /*7$\n"))
+                      .alias("robots_txt")))
+    robots_rules = parse_robots(robots_dim).persist()
+    robots_rules.count()
+    run("robots_allowed", lambda: crawl_allowed(
+        pages.select("url"), robots_rules, agent="crawler")
+        .agg(F.sum(F.col("allowed").cast("int"))).collect(), reps=2)
+    robots_rules.unpersist()
     # html -> text: the native regexp chain (zero Python, scan-fused) —
     # the byte-identity invariant's fast path over the binary html column
     from gojsonschema_spark.ops.html import extract_text_native
