@@ -1192,6 +1192,28 @@ def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url", "allowed")
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff rollup (ops/incremental.py::crawl_diff_summary
+    — full-outer fp join on url, per-host status counts). Old/new crawls
+    are residue-keyed slices of documents with content drift planted on
+    doc_id % 7 == 0; the oracle counts each status directly from the
+    residue arithmetic, independent of the join."""
+    from gojsonschema_spark.ops.incremental import crawl_diff_summary
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (i % 20).cast("string"),
+                   F.lit(".ex.com/d/"), i.cast("string"))
+    base = d.select("doc_id", url.alias("url"), "text")
+    old = base.filter(i % 3 != 0)
+    new = (base.filter(i % 5 != 1)
+           .withColumn("text",
+                       F.when(i % 7 == 0,
+                              F.concat(F.col("text"), F.lit(" v2")))
+                        .otherwise(F.col("text"))))
+    return crawl_diff_summary(old, new)
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1342,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "c4_filter": q_c4_filter,
         "robots_allowed": q_robots_allowed,
+        "crawl_diff": q_crawl_diff,
     }
 
 
@@ -2123,6 +2146,26 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 1 THEN FALSE
                        ELSE doc_id % 4 <> 3 END AS allowed
             FROM documents
+        """,
+        # status counts straight from the residue arithmetic: old =
+        # %3<>0, new = %5<>1, drift = %7=0; a host appears iff it has a
+        # doc in either crawl
+        "crawl_diff": """
+            SELECT 'h' || (doc_id % 20) || '.ex.com' AS host,
+                   CAST(SUM(CASE WHEN doc_id % 3 = 0 AND doc_id % 5 <> 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                   CAST(SUM(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(SUM(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 1
+                                  AND doc_id % 7 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(SUM(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 1
+                                  AND doc_id % 7 <> 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unchanged
+            FROM documents
+            WHERE doc_id % 3 <> 0 OR doc_id % 5 <> 1
+            GROUP BY host
         """,
     })
     return out

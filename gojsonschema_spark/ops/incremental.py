@@ -38,7 +38,8 @@ from .text import normalize_text
 __all__ = ["fingerprint_store", "exact_dedup_incremental",
            "signature_store", "minhash_dedup_incremental",
            "simhash_store", "simhash_dedup_incremental",
-           "embedding_dedup_incremental"]
+           "embedding_dedup_incremental", "crawl_diff",
+           "crawl_diff_summary"]
 
 
 def fingerprint_store(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -375,3 +376,43 @@ def simhash_dedup_incremental(new_df: DataFrame, store: DataFrame,
     losers = vs_store.unionAll(nn_dups).distinct()
     return new_df.join(losers, new_df[key_col] == losers["loser"],
                        "left_anti")
+
+
+def crawl_diff(old_df: DataFrame, new_df: DataFrame,
+               key_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two crawls of the same corpus: one row per
+    url in either crawl with ``status`` in added / removed / changed /
+    unchanged (changed = same url, different normalized-text
+    fingerprint — content drift, the signal recrawl schedulers and
+    freshness audits key on).
+
+    One full-outer shuffle join on the url key, both sides reduced to
+    (key, 16-byte fp) first — at 10^12 pages the join moves ~50 B/row,
+    not page bodies. Neither side is broadcast (both are crawl-sized).
+    """
+    o = old_df.select(F.col(key_col).alias("url"),
+                      F.md5(normalize_text(F.col(text_col))).alias("_fp_old"))
+    n = new_df.select(F.col(key_col).alias("url"),
+                      F.md5(normalize_text(F.col(text_col))).alias("_fp_new"))
+    j = o.join(n, "url", "full_outer")
+    status = (F.when(F.col("_fp_old").isNull(), F.lit("added"))
+              .when(F.col("_fp_new").isNull(), F.lit("removed"))
+              .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select("url", status.alias("status"))
+
+
+def crawl_diff_summary(old_df: DataFrame, new_df: DataFrame,
+                       key_col: str = "url",
+                       text_col: str = "text") -> DataFrame:
+    """Per-host rollup of :func:`crawl_diff`: ``(host, n_added,
+    n_removed, n_changed, n_unchanged)`` — the crawl-health dashboard
+    table. Adds one count shuffle on host after the diff join; hosts
+    without a parseable authority roll up under NULL."""
+    from .webpages import url_host
+
+    d = crawl_diff(old_df, new_df, key_col, text_col)
+    return (d.groupBy(url_host(F.col("url")).alias("host"))
+            .agg(*[F.sum((F.col("status") == s).cast("long"))
+                   .alias(f"n_{s}")
+                   for s in ("added", "removed", "changed", "unchanged")]))

@@ -1743,3 +1743,29 @@ def test_c4_quality_filter(spark):
     plan = c4_quality_filter(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_crawl_diff_and_summary(spark):
+    from gojsonschema_spark.ops.incremental import (crawl_diff,
+                                                    crawl_diff_summary)
+
+    old = spark.createDataFrame([
+        ("https://a.com/1", "same text"),
+        ("https://a.com/2", "will change"),
+        ("https://b.com/3", "goes away"),
+    ], ["url", "text"])
+    new = spark.createDataFrame([
+        ("https://a.com/1", "Same   TEXT"),   # normalized-identical
+        ("https://a.com/2", "has changed"),
+        ("https://b.com/4", "brand new"),
+    ], ["url", "text"])
+    got = {r.url: r.status for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "https://a.com/1": "unchanged",
+        "https://a.com/2": "changed",
+        "https://b.com/3": "removed",
+        "https://b.com/4": "added",
+    }
+    summ = {r.host: (r.n_added, r.n_removed, r.n_changed, r.n_unchanged)
+            for r in crawl_diff_summary(old, new).collect()}
+    assert summ == {"a.com": (0, 0, 1, 1), "b.com": (1, 1, 0, 0)}
