@@ -1214,6 +1214,31 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff_summary(old, new)
 
 
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token vocabulary (ops/text.py::token_vocab): top 100
+    lowercased whitespace tokens with a deterministic (n desc, token
+    asc) tiebreak — TakeOrderedAndProject, map-side partial counts.
+    The oracle re-counts in DuckDB from the same tokenization."""
+    from gojsonschema_spark.ops.text import token_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return token_vocab(d, top_n=100)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus carving (ops/dataset_checks.py::hash_split):
+    80/10/10 train/val/test keyed on md5(doc_id || '|' || seed) —
+    layout-independent (the group_sample keying rule), zero shuffle.
+    The oracle recomputes the bucket from DuckDB's md5 over the same
+    key bytes."""
+    from gojsonschema_spark.ops import dataset_checks as dc
+
+    d = _t(spark, sf_dir, "documents")
+    out = dc.hash_split(d, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    return out.select("doc_id", "split")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1365,6 +1390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "robots_allowed": q_robots_allowed,
         "crawl_diff": q_crawl_diff,
+        "token_vocab": q_token_vocab,
+        "hash_split": q_hash_split,
     }
 
 
@@ -2166,6 +2193,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 3 <> 0 OR doc_id % 5 <> 1
             GROUP BY host
+        """,
+        "token_vocab": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(lower(text),
+                                                    '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 100
+        """,
+        # same md5 bucket arithmetic over the same key bytes: first 8
+        # hex chars -> int -> % 1000, cut at 800/900
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 800 THEN 'train'
+                        WHEN b < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id || '|7'), 1, 8))::BIGINT
+                       % 1000 AS b
+                FROM documents)
         """,
     })
     return out

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "column_stats",
+    "hash_split",
     "numeric_percentiles",
     "duplicate_keys",
     "uniqueness_ratio",
@@ -276,3 +277,45 @@ def categorical_drift_js(df_p: DataFrame, df_q: DataFrame, col: str,
                      F.col("q") * F.log(F.col("q") / m)).otherwise(F.lit(0.0)))
     return joined.agg(
         F.round(F.sum(term) / 2, round_to).alias("js_divergence"))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float], seed: int = 0,
+               buckets: int = 1000) -> DataFrame:
+    """Deterministic train/val/test carving: appends ``split`` chosen by
+    ``md5(id || '|' || seed)`` bucketed into ``buckets`` slots and cut
+    at the cumulative weight boundaries. Same id + seed -> same split
+    on every run, at every parallelism, on any engine (the md5 keying
+    rule from :func:`group_sample` — ``F.rand`` is layout-dependent);
+    a fresh seed redraws the assignment. Map-side only: zero shuffle,
+    no state, safely re-derivable per partition under task retry.
+
+    ``weights`` need not sum to 1 — they are normalized; order of dict
+    entries fixes boundary order. Granularity is 1/buckets (weights
+    round to whole buckets; an entry rounding to zero buckets raises).
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    cuts: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, wgt in weights.items():
+        acc += wgt / total
+        cuts.append((name, int(round(acc * buckets))))
+    prev = 0
+    for name, edge in cuts:
+        if edge <= prev:
+            raise ValueError(
+                f"split {name!r} rounds to zero buckets at "
+                f"buckets={buckets}; raise buckets")
+        prev = edge
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                          F.lit(str(seed)))), 1, 8), 16, 10)
+        .cast("long") % buckets)
+    expr = None
+    for name, edge in cuts:
+        cond = bucket < edge
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)

@@ -13,7 +13,7 @@ __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "fingerprint", "normalize_text", "repetition_metrics",
            "token_count_bpe", "temperature_fractions", "temperature_resample",
            "pack_sequences", "redact_pii", "gopher_quality_filter",
-           "c4_quality_filter"]
+           "c4_quality_filter", "token_vocab"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -528,3 +528,25 @@ def c4_quality_filter(df: DataFrame, text_col: str = "text",
     out = out.withColumns(rules)
     return out.withColumn(
         "keep", reduce(and_, [F.col(k) for k in rules]))
+
+
+def token_vocab(df: DataFrame, text_col: str = "text",
+                lowercase: bool = True, min_count: int = 1,
+                top_n: int | None = None) -> DataFrame:
+    """Corpus token vocabulary ``(token, n)`` — the input table for
+    tokenizer training and OOV audits. Whitespace tokens (the same
+    native tokenization as :func:`quality_score`), optionally
+    lowercased, counted with one groupBy shuffle (map-side partial
+    aggregation makes the shuffle carry (token, partial-count) pairs,
+    not occurrences). ``top_n`` returns the n most frequent with a
+    deterministic (count desc, token asc) tiebreak — Catalyst plans it
+    as TakeOrderedAndProject, never a global sort."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.explode(F.array_remove(F.split(text, r"\s+"), ""))
+    counts = (df.select(toks.alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    if top_n is not None:
+        counts = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
+    return counts

@@ -1769,3 +1769,47 @@ def test_crawl_diff_and_summary(spark):
     summ = {r.host: (r.n_added, r.n_removed, r.n_changed, r.n_unchanged)
             for r in crawl_diff_summary(old, new).collect()}
     assert summ == {"a.com": (0, 0, 1, 1), "b.com": (1, 1, 0, 0)}
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from gojsonschema_spark.ops.dataset_checks import hash_split
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.k: r.split for r in hash_split(df, "k", w, seed=3).collect()}
+    b = {r.k: r.split
+         for r in hash_split(df.repartition(17), "k", w, seed=3).collect()}
+    assert a == b                       # layout-independent
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
+    # different seed redraws; same seed reproduces
+    c2 = {r.k: r.split for r in hash_split(df, "k", w, seed=4).collect()}
+    assert c2 != a
+    import pytest as _pt
+    with _pt.raises(ValueError, match="zero buckets"):
+        hash_split(df, "k", {"a": 1.0, "b": 1e-9}).collect()
+    # map-side: no shuffle
+    plan = hash_split(df, "k", w)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_token_vocab(spark):
+    from gojsonschema_spark.ops.text import token_vocab
+
+    df = spark.createDataFrame(
+        [("the cat  sat",), ("THE cat",), ("",)], ["text"])
+    got = [(r.token, r.n) for r in
+           token_vocab(df).orderBy(F.desc("n"), "token").collect()]
+    assert got == [("cat", 2), ("the", 2), ("sat", 1)]
+    kept = token_vocab(df, min_count=2).collect()
+    assert {r.token for r in kept} == {"cat", "the"}
+    case = {r.token for r in token_vocab(df, lowercase=False).collect()}
+    assert "THE" in case and "the" in case
+    # top_n plans as TakeOrderedAndProject, not a global sort
+    plan = token_vocab(df, top_n=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
