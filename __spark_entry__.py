@@ -1239,6 +1239,39 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-container round trip (io/warc.py): documents -> distributed
+    WARC sink (one gzip-member-framed shard per partition, manifest
+    collected to materialize the write) -> binaryFile ingest, one file
+    per task -> page rows. The oracle recomputes the expected rows
+    straight from the parquet table, so the WARC leg must be lossless
+    on url, payload bytes, and WARC-Date."""
+    import os
+    import shutil
+    import tempfile
+
+    from gojsonschema_spark.io.warc import read_warc, write_warc
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id")).alias("url"),
+        F.expr("timestamp_ntz'2025-01-01 00:00:00' + "
+               "make_dt_interval(0, 0, 0, doc_id)").alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "gjs_warc_ingest_" + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc(pages, out, n_files=8).collect()
+    back = read_warc(spark, out)
+    return back.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.decode("html", "utf-8").alias("text"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"))
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1392,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "token_vocab": q_token_vocab,
         "hash_split": q_hash_split,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -2217,6 +2251,13 @@ def oracle_sql() -> dict[str, str]:
                        ('0x' || substr(md5(doc_id || '|7'), 1, 8))::BIGINT
                        % 1000 AS b
                 FROM documents)
+        """,
+        "warc_ingest": """
+            SELECT doc_id, text,
+                   strftime(TIMESTAMP '2025-01-01 00:00:00'
+                            + doc_id * INTERVAL 1 SECOND,
+                            '%Y-%m-%d %H:%M:%S') AS ts
+            FROM documents
         """,
     })
     return out

@@ -34,7 +34,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "parse_warc", "warc_record_bytes"]
+__all__ = ["read_warc", "parse_warc", "warc_record_bytes", "write_warc"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -176,3 +176,63 @@ def warc_record_bytes(url: str, date: str, html: bytes, *,
            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
            b"\r\n" + payload + b"\r\n\r\n")
     return gzip.compress(rec) if compress else rec
+
+
+def write_warc(df: DataFrame, path: str, *,
+               url_col: str = "url", ts_col: str = "warc_ts",
+               html_col: str = "html", n_files: int | None = None,
+               compress: bool = True) -> DataFrame:
+    """Distributed WARC sink — the write half of the crawl round-trip:
+    each partition serializes its rows as one ``part-NNNNN.warc[.gz]``
+    (Common Crawl's per-record gzip-member framing, so any subset of
+    files is itself a valid crawl shard). Returns a lazy one-row-per-
+    file manifest ``(warc_file, n_records)``; **collecting the manifest
+    performs the write**. Parallelism = number of partitions; pass
+    ``n_files`` to repartition first (Spark's round-robin repartition
+    sorts locally, so file contents are deterministic under task
+    retry). Empty partitions produce no file. Writes go through a
+    ``_tmp-`` name renamed into place, so a killed task never leaves a
+    half-written shard visible.
+
+    ``path`` must be a directory reachable from every executor (POSIX
+    path on local/NFS; for object stores, write locally per task and
+    ship — out of scope here). Timestamps: tz-aware values are
+    converted to UTC; tz-naive values (TIMESTAMP_NTZ, or LTZ under a
+    UTC session) are written as-is with a ``Z`` suffix — run sessions
+    in UTC, the Spark default here.
+    """
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    if n_files is not None:
+        df = df.repartition(n_files)
+    cols = df.select(url_col, ts_col, html_col)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(path, f"_tmp-part-{pid:05d}{ext}")
+        final = os.path.join(path, f"part-{pid:05d}{ext}")
+        n = 0
+        fh = None
+        for pdf in batches:
+            if fh is None and len(pdf):
+                fh = open(tmp, "wb")
+            for url, ts, html in zip(pdf.iloc[:, 0], pdf.iloc[:, 1],
+                                     pdf.iloc[:, 2]):
+                if getattr(ts, "tzinfo", None) is not None:
+                    ts = ts.tz_convert("UTC").tz_localize(None)
+                fh.write(warc_record_bytes(
+                    str(url), ts.strftime("%Y-%m-%dT%H:%M:%SZ"), bytes(html),
+                    record_id=f"<urn:uuid:{pid}-{n}>", compress=compress))
+                n += 1
+        if fh is not None:
+            fh.close()
+            os.replace(tmp, final)
+            yield pd.DataFrame([(final, n)],
+                               columns=["warc_file", "n_records"])
+
+    os.makedirs(path, exist_ok=True)
+    return cols.mapInPandas(_write, "warc_file string, n_records long")
