@@ -1272,6 +1272,23 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"))
 
 
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (ops/text.py::fix_mojibake): plant cp1252
+    corruption deterministically ('a' -> 'Ã©', 'e' -> 'â€™': the
+    mojibake forms of 'é' and '’'), run the 115-entry repair chain,
+    and the oracle checks against direct substitution of the CLEAN
+    chars — so the chain must repair exactly and touch nothing else."""
+    from gojsonschema_spark.ops.text import fix_mojibake
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.replace(F.replace(F.col("text"), F.lit("a"), F.lit("Ã©")),
+                  F.lit("e"), F.lit("â€™")).alias("text"))
+    return fix_mojibake(planted, out_col="fixed") \
+        .select("doc_id", "fixed")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1426,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocab": q_token_vocab,
         "hash_split": q_hash_split,
         "warc_ingest": q_warc_ingest,
+        "fix_mojibake": q_fix_mojibake,
     }
 
 
@@ -2257,6 +2275,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(TIMESTAMP '2025-01-01 00:00:00'
                             + doc_id * INTERVAL 1 SECOND,
                             '%Y-%m-%d %H:%M:%S') AS ts
+            FROM documents
+        """,
+        # the repaired text must equal direct substitution of the CLEAN
+        # characters — é for a, ’ for e
+        "fix_mojibake": """
+            SELECT doc_id,
+                   replace(replace(text, 'a', 'é'), 'e', '’') AS fixed
             FROM documents
         """,
     })

@@ -13,7 +13,8 @@ __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "fingerprint", "normalize_text", "repetition_metrics",
            "token_count_bpe", "temperature_fractions", "temperature_resample",
            "pack_sequences", "redact_pii", "gopher_quality_filter",
-           "c4_quality_filter", "token_vocab"]
+           "c4_quality_filter", "token_vocab", "fix_mojibake",
+           "mojibake_repairs", "mojibake_sql_expr"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -550,3 +551,62 @@ def token_vocab(df: DataFrame, text_col: str = "text",
     if top_n is not None:
         counts = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
     return counts
+
+def mojibake_repairs() -> list[tuple[str, str]]:
+    """The UTF-8-read-as-cp1252 repair table: ``(mojibake_seq, char)``
+    for every character cp1252 can corrupt — Latin-1 supplement
+    U+00A0..U+00FF plus cp1252's extension set (curly quotes, dashes,
+    ellipsis, euro, trademark, OE/S/Z-caron ligatures). Derived at
+    import by round-tripping each char through
+    ``encode('utf-8').decode('cp1252')`` — the exact corruption a
+    cp1252-labelled HTTP response inflicts on UTF-8 page bytes, the
+    dominant web mojibake class. Chars whose UTF-8 bytes hit cp1252's
+    five undefined slots (0x81 8D 8F 90 9D) are skipped: their
+    corruption is not representable as a cp1252 string, so it cannot
+    appear in text that survived a cp1252 decode. Ordered longest
+    sequence first so 3-byte repairs (curly quotes) run before 2-byte
+    ones whose sequences could appear inside them."""
+    reps: list[tuple[str, str]] = []
+    extension = ("ŒœŠšŸŽžƒ"
+                 "–—‘’‚“”„"
+                 "†‡•…‰‹›€™")
+    for ch in [chr(c) for c in range(0xA0, 0x100)] + list(extension):
+        try:
+            reps.append((ch.encode("utf-8").decode("cp1252"), ch))
+        except UnicodeDecodeError:
+            continue
+    reps.sort(key=lambda r: (-len(r[0]), r[0]))
+    return reps
+
+
+_MOJIBAKE_REPAIRS = mojibake_repairs()
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 out_col: str | None = None) -> DataFrame:
+    """Repair UTF-8-decoded-as-cp1252 mojibake (``Ã©`` -> ``é``,
+    ``â€™`` -> ``’``) — the ftfy-style cleanup every web-text pipeline
+    runs before quality filtering. One map-side pass of chained native
+    ``replace`` calls over :func:`mojibake_repairs` (zero shuffle, no
+    Python); clean text passes through unchanged byte-for-byte.
+
+    Tradeoff (same as ftfy's): text that *legitimately* contains a
+    repair sequence (e.g. literal ``Ã`` directly followed by ``©``)
+    is rewritten. Those sequences are vanishingly rare in real prose —
+    that rarity is why mojibake is detectable at all."""
+    col = F.col(text_col)
+    for seq, ch in _MOJIBAKE_REPAIRS:
+        col = F.replace(col, F.lit(seq), F.lit(ch))
+    return df.withColumn(out_col or text_col, col)
+
+
+def mojibake_sql_expr(col_sql: str) -> str:
+    """ANSI-SQL twin of :func:`fix_mojibake` for oracle cross-checks:
+    the same repair chain, same order, rendered as nested REPLACE
+    calls over ``col_sql``. (Repair sequences contain no ASCII, so no
+    quote escaping is ever needed — asserted anyway.)"""
+    expr = col_sql
+    for seq, ch in _MOJIBAKE_REPAIRS:
+        assert "'" not in seq and "'" not in ch
+        expr = f"replace({expr}, '{seq}', '{ch}')"
+    return expr

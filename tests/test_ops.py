@@ -1813,3 +1813,30 @@ def test_token_vocab(spark):
     plan = token_vocab(df, top_n=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fix_mojibake_round_trip(spark):
+    from gojsonschema_spark.ops.text import fix_mojibake, mojibake_repairs
+
+    # NB no '”' (U+201D): its UTF-8 hits cp1252's undefined 0x9D, so
+    # that corruption can't survive a cp1252 decode (table skips it)
+    clean = "café – “naïve« résumé… 100€ Œuvre s’il ±5°"
+    corrupt = clean.encode("utf-8").decode("cp1252")
+    assert corrupt != clean
+    df = spark.createDataFrame(
+        [(corrupt,), ("plain ascii only",), ("",), (None,)], ["text"])
+    got = [r.text for r in fix_mojibake(df).collect()]
+    assert got[0] == clean
+    assert got[1] == "plain ascii only"      # clean text untouched
+    assert got[2] == "" and got[3] is None
+    # every repair sequence individually round-trips
+    reps = mojibake_repairs()
+    assert len(reps) > 100
+    pairs = spark.createDataFrame([(s,) for s, _ in reps], ["text"])
+    fixed = [r.text for r in fix_mojibake(pairs).collect()]
+    assert fixed == [c for _, c in reps]
+    # map-side, no Python, out_col variant
+    out = fix_mojibake(df, out_col="fixed")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    assert out.columns == ["text", "fixed"]
