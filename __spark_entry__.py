@@ -1289,6 +1289,18 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fixed")
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training inner table (ops/text.py::bpe_pair_counts):
+    adjacent-character pair counts weighted by word frequency, computed
+    over the UNIQUE-word table (vocabulary-sized shuffles; the corpus
+    is scanned once). Oracle re-derives the same counts in DuckDB via
+    lateral generate_series over each distinct word."""
+    from gojsonschema_spark.ops.text import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(d)
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1444,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "warc_ingest": q_warc_ingest,
         "fix_mojibake": q_fix_mojibake,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -2283,6 +2296,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    replace(replace(text, 'a', 'é'), 'e', '’') AS fixed
             FROM documents
+        """,
+        "bpe_pairs": """
+            WITH words AS (
+                SELECT token AS word, COUNT(*) AS freq
+                FROM (
+                    SELECT unnest(regexp_split_to_array(lower(text),
+                                                        '\\s+')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+                GROUP BY token
+            )
+            SELECT substring(word, i, 1) AS left,
+                   substring(word, i + 1, 1) AS right,
+                   CAST(SUM(freq) AS BIGINT) AS n
+            FROM words,
+                 UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+            GROUP BY 1, 2
         """,
     })
     return out

@@ -14,7 +14,8 @@ __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "token_count_bpe", "temperature_fractions", "temperature_resample",
            "pack_sequences", "redact_pii", "gopher_quality_filter",
            "c4_quality_filter", "token_vocab", "fix_mojibake",
-           "mojibake_repairs", "mojibake_sql_expr"]
+           "mojibake_repairs", "mojibake_sql_expr", "bpe_pair_counts",
+           "bpe_train"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -610,3 +611,89 @@ def mojibake_sql_expr(col_sql: str) -> str:
         assert "'" not in seq and "'" not in ch
         expr = f"replace({expr}, '{seq}', '{ch}')"
     return expr
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """One BPE merge pass over a symbol array: greedy left-to-right
+    non-overlapping replacement of adjacent (a, b) with a+b — the
+    Sennrich et al. 2016 merge rule, expressed as a fold (after a
+    merge the new tail is the MERGED symbol, so 'aaa' under (a,a)
+    yields [aa, a], never [aa, aa] from overlap)."""
+    merged = a + b
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(s))))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    merges: tuple[tuple[str, str], ...] = (),
+                    lowercase: bool = True) -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts ``(left, right, n)``
+    — the inner table of BPE tokenizer training. Scale shape: counting
+    runs over the UNIQUE-WORD table weighted by word frequency, never
+    over raw occurrences — the corpus-sized scan happens once in the
+    word count (map-side partial agg), and everything after is
+    vocabulary-sized (~10^7-10^8 distinct words at web scale, vs 10^12
+    occurrences). ``merges`` pre-applies an existing merge list (one
+    interpreted fold pass per merge, per unique word). Pair extraction
+    is native: arrays_zip of the two shifted slices, exploded, summed."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = (df.select(F.explode(F.array_remove(F.split(text, r"\s+"), ""))
+                       .alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    syms = F.split(F.col("word"), "")
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    n = F.size(syms)
+    pair = F.explode(F.arrays_zip(
+        F.slice(syms, 1, n - 1).alias("left"),
+        F.slice(syms, 2, n - 1).alias("right")))
+    return (words.select("freq", pair.alias("p"))
+            .groupBy(F.col("p.left").alias("left"),
+                     F.col("p.right").alias("right"))
+            .agg(F.sum("freq").alias("n")))
+
+
+def bpe_train(df: DataFrame, n_merges: int, text_col: str = "text",
+              lowercase: bool = True, min_count: int = 2,
+              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from the corpus: per iteration, count
+    adjacent symbol pairs over the persisted unique-word table, take
+    the argmax (deterministic (n desc, left, right) tiebreak —
+    TakeOrderedAndProject, never a global sort), and apply ONE merge
+    pass to the materialized symbol column. Lineage is truncated with
+    ``localCheckpoint`` every ``checkpoint_every`` merges (the
+    iterative-loop rule from ops/dedup.duplicate_clusters — persist
+    alone leaves the plan growing). Stops early when the best pair
+    drops below ``min_count``. Per-iteration cost is vocabulary-sized;
+    the corpus is scanned exactly once."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    cur = (df.select(F.explode(F.array_remove(F.split(text, r"\s+"), ""))
+                     .alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+           .withColumn("syms", F.split(F.col("word"), ""))
+           .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        n = F.size(F.col("syms"))
+        pair = F.explode(F.arrays_zip(
+            F.slice(F.col("syms"), 1, n - 1).alias("left"),
+            F.slice(F.col("syms"), 2, n - 1).alias("right")))
+        top = (cur.select("freq", pair.alias("p"))
+               .groupBy(F.col("p.left").alias("left"),
+                        F.col("p.right").alias("right"))
+               .agg(F.sum("freq").alias("n"))
+               .orderBy(F.desc("n"), "left", "right").limit(1).collect())
+        if not top or top[0].n < min_count:
+            break
+        a, b = top[0].left, top[0].right
+        merges.append((a, b))
+        cur = cur.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges

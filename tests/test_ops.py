@@ -1840,3 +1840,72 @@ def test_fix_mojibake_round_trip(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
     assert out.columns == ["text", "fixed"]
+
+
+def _ref_bpe(word_freqs: dict, n_merges: int, min_count: int = 2):
+    """Pure-Python Sennrich BPE: count pairs over unique words weighted
+    by freq, merge the (count desc, pair asc) argmax, greedy
+    left-to-right non-overlapping replacement."""
+    from collections import Counter
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        best, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append(best)
+        a, b = best
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from gojsonschema_spark.ops.text import bpe_pair_counts, bpe_train
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaa": 4}
+    rows = [(" ".join([w] * f),) for w, f in words.items()]
+    df = spark.createDataFrame(rows, ["text"])
+    merges = bpe_train(df, 10, checkpoint_every=3)
+    assert merges == _ref_bpe(words, 10)
+    assert len(merges) >= 5
+    # pair counts with the learned merges pre-applied match the
+    # reference's next-iteration counter
+    from collections import Counter
+    seqs = {w: list(w) for w in words}
+    for a, b in merges:
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    want = Counter()
+    for w, f in words.items():
+        s = seqs[w]
+        for i in range(len(s) - 1):
+            want[(s[i], s[i + 1])] += f
+    got = {(r.left, r.right): r.n
+           for r in bpe_pair_counts(df, merges=tuple(merges)).collect()}
+    assert got == dict(want)
+    # greedy non-overlap pinned: 'aaa' under (a,a) -> [aa, a]
+    assert ("a", "a") in merges
