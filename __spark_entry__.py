@@ -842,6 +842,21 @@ def q_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inc.exact_dedup_incremental(new, store).select("doc_id")
 
 
+def q_exact_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Bloom semi-join reduction over the day-2 anti-join
+    (ops/bloom.py): a Bloom filter built over the NEW crawl's
+    fingerprints pre-filters the store scan before the shuffle. False
+    positives only reach the exact anti-join, so survivors are
+    IDENTICAL to the plain route — same shared oracle."""
+    from gojsonschema_spark.ops import incremental as inc
+
+    old, new = _incremental_slices(spark, sf_dir)
+    store = inc.fingerprint_store(old)
+    return inc.exact_dedup_incremental(new, store, bloom_fpp=0.01) \
+        .select("doc_id")
+
+
 def q_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run incremental dedup against a persisted MinHash signature
     store in confirm_exact mode (ops/incremental.py): candidates come
@@ -1457,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "fix_mojibake": q_fix_mojibake,
         "bpe_pairs": q_bpe_pairs,
+        "exact_dedup_incremental_bloom": q_exact_dedup_incremental_bloom,
     }
 
 
@@ -1977,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash row shares this oracle: at threshold 1.0 a drop needs
         # all 64 lanes equal == normalized-text identity on this corpus.
         "exact_dedup_incremental": _INCREMENTAL_ORACLE,
+        "exact_dedup_incremental_bloom": _INCREMENTAL_ORACLE,
         "minhash_dedup_incremental": _INCREMENTAL_ORACLE,
         "embedding_dedup_incremental": """
             WITH old AS (

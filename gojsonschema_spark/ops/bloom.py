@@ -1,0 +1,142 @@
+"""Bloom-filter semi-join reduction — the classic shuffle cutter for
+day-2 incremental dedup (and any big-probe/small-build anti-join).
+
+The day-2 anti-join shape is `new_crawl LEFT ANTI store` on 16-byte
+fingerprints: the store accumulates ALL prior crawls (10^12 rows), the
+new crawl is orders of magnitude smaller. Spark shuffles both sides by
+fp — and the store shuffle dominates everything. But a store row whose
+fp is not in the NEW side's fp set can never eliminate anything: it is
+dead weight. So build a Bloom filter over the (small) new side, filter
+the store scan through it BEFORE the shuffle, and the store side
+shrinks from |store| to ~|matches| + fpp * |store| rows. False
+positives only let extra store rows reach the exact join (which then
+ignores them), so the result is bit-for-bit identical — pinned in
+tests.
+
+Implementation notes (the part worth reading):
+
+* **One hash family on both sides.** Bit positions are computed
+  JVM-side as ``pmod(xxhash64(key, i), m)`` for i in 0..k-1 — native
+  columns, codegen, identical on build and probe by construction.
+  Python never hashes anything.
+* **Build** aggregates per-partition numpy bitmaps (``mapInPandas``,
+  ``np.bitwise_or.at`` handles duplicate positions) and ORs them on
+  the driver via ``toLocalIterator`` — driver memory is TWO bitmaps,
+  not partitions x bitmap. At 10^9 new-crawl keys and 1% fpp the
+  bitmap is ~1.2 GB: still broadcastable, and the build side is the
+  SMALL side by assumption (that asymmetry is the whole point).
+* **Probe** is an Arrow-batched pandas UDF over the k JVM-computed
+  position columns (vectorized numpy gather + AND; marked
+  nondeterministic per the optimizer-clone trap). Python-in-hot-path
+  is the honest cost of a driver-held bitmap; it buys removing the
+  full store shuffle.
+
+Reference parity note: gojsonschema has no batch surface at all — this
+exists for the 10^12-scale dedup contract (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["BloomFilter", "bloom_build", "bloom_probe", "bloom_sizing"]
+
+
+def bloom_sizing(n_items: int, fpp: float) -> tuple[int, int]:
+    """Textbook sizing: bits ``m = ceil(-n ln p / ln(2)^2)`` rounded up
+    to a byte multiple, hashes ``k = round(m/n ln 2)`` clamped to
+    [1, 16]."""
+    if not (0 < fpp < 1):
+        raise ValueError("fpp must be in (0, 1)")
+    n = max(n_items, 1)
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = (m + 7) // 8 * 8
+    k = min(16, max(1, round(m / n * math.log(2))))
+    return m, k
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Driver-held Bloom filter: ``bits`` (little-endian bit order per
+    byte), ``m`` bits, ``k`` hashes. Pickle-able; ship to executors via
+    ``SparkContext.broadcast`` (``bloom_probe`` does)."""
+    bits: bytes
+    m: int
+    k: int
+
+
+def _positions(col: Column, m: int, k: int) -> list[Column]:
+    return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).cast("long")
+            for i in range(k)]
+
+
+def bloom_build(df: DataFrame, col: str, *, n_items: int | None = None,
+                fpp: float = 0.01, m_bits: int | None = None,
+                k: int | None = None) -> BloomFilter:
+    """Build a Bloom filter over ``df[col]`` (EAGER — runs one job).
+    Sizing from (``n_items``, ``fpp``) or explicit (``m_bits``, ``k``);
+    when ``n_items`` is omitted it is counted (a second cheap job over
+    the build side — pass it when already known)."""
+    import numpy as np
+    import pandas as pd
+
+    if m_bits is None:
+        if n_items is None:
+            n_items = df.count()
+        m_bits, auto_k = bloom_sizing(n_items, fpp)
+        k = k or auto_k
+    else:
+        m_bits = (m_bits + 7) // 8 * 8
+        k = k or 5
+    m, kk = m_bits, k
+
+    pos = df.select(*[p.alias(f"p{i}")
+                      for i, p in enumerate(_positions(F.col(col), m, kk))])
+
+    def _setbits(batches):
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        for pdf in batches:
+            for c in pdf.columns:
+                p = pdf[c].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(
+                    bm, p >> 3,
+                    np.left_shift(np.uint8(1), (p & 7).astype(np.uint8)))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    # toLocalIterator: driver holds the accumulator + one partition
+    # bitmap at a time, never partitions-many
+    for row in pos.mapInPandas(_setbits, "bm binary").toLocalIterator():
+        acc |= np.frombuffer(row.bm, dtype=np.uint8)
+    return BloomFilter(bits=acc.tobytes(), m=m, k=kk)
+
+
+def bloom_probe(bloom: BloomFilter, col: Column,
+                spark=None) -> Column:
+    """Boolean membership column: True = possibly inserted (exact join
+    downstream decides), False = DEFINITELY not inserted (safe to drop
+    before the shuffle). Bitmap ships once per executor via TorrentBroadcast;
+    positions are the same JVM xxhash64 family as the build."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    spark = spark or SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(bloom.bits)
+    k = bloom.k
+
+    def _probe(*pos_cols):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        ok = None
+        for p in pos_cols:
+            pos = p.to_numpy(dtype=np.int64)
+            bit = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            ok = bit if ok is None else (ok & bit)
+        return pd.Series(ok.astype(bool))
+
+    udf = pandas_udf(_probe, "boolean").asNondeterministic()
+    return udf(*_positions(col, bloom.m, k))

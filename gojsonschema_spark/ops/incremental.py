@@ -53,7 +53,9 @@ def fingerprint_store(df: DataFrame, text_col: str = "text") -> DataFrame:
 def exact_dedup_incremental(new_df: DataFrame, store: DataFrame,
                             text_col: str = "text",
                             key_col: str = "doc_id",
-                            fp_col: str = "fp") -> DataFrame:
+                            fp_col: str = "fp",
+                            bloom_fpp: float | None = None,
+                            bloom_n_items: int | None = None) -> DataFrame:
     """Drop every new row whose normalized text already exists in the
     persisted fingerprint ``store``, then keep one canonical
     (minimum-``key_col``) survivor per remaining within-batch duplicate
@@ -66,13 +68,28 @@ def exact_dedup_incremental(new_df: DataFrame, store: DataFrame,
     co-located for free when the store table is bucketed by fp); then
     the same salted-combinable groupBy + join-back as
     :func:`dedup.exact_dedup_keep_canonical` for the within-batch
-    groups. No driver-side state, nothing collected."""
+    groups. No driver-side state, nothing collected.
+
+    ``bloom_fpp`` opts into Bloom semi-join reduction (ops/bloom.py):
+    a Bloom filter built over the NEW crawl's fingerprints (the small
+    side) pre-filters the store scan, so the store shuffles only rows
+    that can possibly eliminate something — |matches| + fpp * |store|
+    instead of all prior crawls. The result is IDENTICAL (false
+    positives just reach the exact anti-join, which ignores them;
+    equality pinned in tests). Costs one extra eager pass over the new
+    crawl to build the bitmap (+ a count when ``bloom_n_items`` is not
+    given) — worth it exactly when |store| >> |new|, the day-2 shape."""
     fp = F.md5(normalize_text(F.col(text_col)))
     keyed = new_df.withColumn("__fp", fp)
     # no .distinct() on the store: LEFT ANTI ignores duplicate build
     # keys, and de-duplicating a 10^12-row store would be a full extra
     # shuffle for nothing (fingerprint_store is distinct by construction)
     store_fps = store.select(F.col(fp_col).alias("__fp"))
+    if bloom_fpp is not None:
+        from .bloom import bloom_build, bloom_probe
+        bf = bloom_build(keyed.select("__fp"), "__fp",
+                         fpp=bloom_fpp, n_items=bloom_n_items)
+        store_fps = store_fps.filter(bloom_probe(bf, F.col("__fp")))
     fresh = keyed.join(store_fps, "__fp", "left_anti")
     canon = fresh.groupBy("__fp").agg(F.min(key_col).alias("__canon"))
     return (fresh.join(canon, "__fp")

@@ -1909,3 +1909,55 @@ def test_bpe_train_matches_reference(spark):
     assert got == dict(want)
     # greedy non-overlap pinned: 'aaa' under (a,a) -> [aa, a]
     assert ("a", "a") in merges
+
+
+def test_bloom_filter_membership(spark):
+    from gojsonschema_spark.ops.bloom import (
+        bloom_build, bloom_probe, bloom_sizing)
+
+    m, k = bloom_sizing(1000, 0.01)
+    assert m % 8 == 0 and m > 9000 and 5 <= k <= 9
+    members = spark.range(2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("s"))
+    bf = bloom_build(members.repartition(7), "s", fpp=0.02)
+    # no false negatives, ever
+    assert members.filter(~bloom_probe(bf, F.col("s"))).count() == 0
+    # false-positive rate near target on disjoint keys
+    others = spark.range(2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("s"))
+    fp = others.filter(bloom_probe(bf, F.col("s"))).count()
+    assert fp < 2000 * 0.02 * 4, fp
+    # explicit sizing path
+    bf2 = bloom_build(members, "s", m_bits=1 << 15, k=4)
+    assert bf2.m == 1 << 15 and bf2.k == 4
+    assert members.filter(~bloom_probe(bf2, F.col("s"))).count() == 0
+
+
+def test_exact_dedup_incremental_bloom_identical(spark):
+    """Bloom semi-join reduction changes the plan, never the result."""
+    from gojsonschema_spark.ops import incremental as inc
+    from gojsonschema_spark.ops.bloom import bloom_build, bloom_probe
+    from gojsonschema_spark.ops.text import normalize_text
+
+    rows = [(i, f"text number {i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    old = df.filter(F.col("doc_id") % 2 == 0)
+    new = df.filter(F.col("doc_id") % 2 == 1)
+    store = inc.fingerprint_store(old)
+    plain = sorted(r.doc_id for r in
+                   inc.exact_dedup_incremental(new, store).collect())
+    bloomed = sorted(r.doc_id for r in inc.exact_dedup_incremental(
+        new, store, bloom_fpp=0.01).collect())
+    assert bloomed == plain and len(plain) > 0
+    # the reduction itself: a store of mostly-unmatched fps shrinks
+    big_store = store.unionAll(
+        spark.range(5000).select(F.md5(F.concat(
+            F.lit("absent-"), F.col("id"))).alias("fp")))
+    bf = bloom_build(
+        new.select(F.md5(normalize_text(F.col("text"))).alias("fp")), "fp",
+        fpp=0.01)
+    kept = big_store.filter(bloom_probe(bf, F.col("fp"))).count()
+    assert kept < 200          # ~20 true matches + fpp stragglers
+    again = sorted(r.doc_id for r in inc.exact_dedup_incremental(
+        new, big_store, bloom_fpp=0.01).collect())
+    assert again == plain
