@@ -1316,6 +1316,66 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d)
 
 
+def _json_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON twin of the documents table for the induction rows:
+    {"id", "lang" (omitted when doc_id%7==0 — to_json drops nulls),
+    "n", "tags": [source], "meta": {"len": n_chars}}."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("doc_id") % 7 != 0, F.col("lang")).alias("lang"),
+            F.col("n_chars").alias("n"),
+            F.array(F.col("source")).alias("tags"),
+            F.struct(F.col("n_chars").alias("len")).alias("meta"),
+        )).alias("doc"))
+
+
+def q_json_field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed JSON field profile (ops/schema_induction.py): one
+    Arrow-batched walk over the corpus, path-sized aggregates. The
+    oracle hand-derives every (path, type) row's occurrence count and
+    numeric/length bounds from the raw columns. Nulls coalesced to -1
+    on both sides (driver sorter can't order None)."""
+    from gojsonschema_spark.ops.schema_induction import json_field_profile
+
+    j = _json_corpus(spark, sf_dir)
+    return json_field_profile(j, "doc").select(
+        "path", "jtype", "n",
+        F.coalesce("min_num", F.lit(-1.0)).alias("min_num"),
+        F.coalesce("max_num", F.lit(-1.0)).alias("max_num"),
+        F.coalesce("min_len", F.lit(-1).cast("bigint")).alias("min_len"),
+        F.coalesce("max_len", F.lit(-1).cast("bigint")).alias("max_len"))
+
+
+def q_induced_schema_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The induction round-trip contract, end to end through the real
+    engine: induce a draft-07 schema from the JSON corpus, validate the
+    corpus PLUS type-flipped mutants (doc_id+1000000, "n" rendered as a
+    string and id out of the induced range). Every original must
+    validate, every mutant must fail — the oracle knows which is which
+    by key alone."""
+    from gojsonschema_spark.ops.schema_induction import induce_schema
+    from gojsonschema_spark.spark.engine import SparkValidator
+
+    orig = _json_corpus(spark, sf_dir)
+    schema = induce_schema(orig, "doc")
+    d = _t(spark, sf_dir, "documents")
+    mutants = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.to_json(F.struct(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.when(F.col("doc_id") % 7 != 0, F.col("lang")).alias("lang"),
+            F.col("n_chars").cast("string").alias("n"),
+            F.array(F.col("source")).alias("tags"),
+            F.struct(F.col("n_chars").alias("len")).alias("meta"),
+        )).alias("doc"))
+    v = SparkValidator(schema, draft="draft7")
+    return (v.validate_json(orig.unionAll(mutants), "doc")
+            .select("doc_id", "valid"))
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1473,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "bpe_pairs": q_bpe_pairs,
         "exact_dedup_incremental_bloom": q_exact_dedup_incremental_bloom,
+        "json_field_profile": q_json_field_profile,
+        "induced_schema_valid": q_induced_schema_valid,
     }
 
 
@@ -2330,6 +2392,58 @@ def oracle_sql() -> dict[str, str]:
             FROM words,
                  UNNEST(generate_series(1, length(word) - 1)) AS t(i)
             GROUP BY 1, 2
+        """,
+        "json_field_profile": """
+            SELECT '$' AS path, 'object' AS jtype,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(-1 AS DOUBLE) AS min_num,
+                   CAST(-1 AS DOUBLE) AS max_num,
+                   CAST(-1 AS BIGINT) AS min_len,
+                   CAST(-1 AS BIGINT) AS max_len
+            FROM documents
+            UNION ALL
+            SELECT '$.id', 'integer', CAST(COUNT(*) AS BIGINT),
+                   CAST(MIN(doc_id) AS DOUBLE), CAST(MAX(doc_id) AS DOUBLE),
+                   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT '$.lang', 'string', CAST(COUNT(*) AS BIGINT),
+                   CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
+                   CAST(MIN(length(lang)) AS BIGINT),
+                   CAST(MAX(length(lang)) AS BIGINT)
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT '$.meta', 'object', CAST(COUNT(*) AS BIGINT),
+                   CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
+                   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT '$.meta.len', 'integer', CAST(COUNT(*) AS BIGINT),
+                   CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+                   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT '$.n', 'integer', CAST(COUNT(*) AS BIGINT),
+                   CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+                   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT '$.tags', 'array', CAST(COUNT(*) AS BIGINT),
+                   CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
+                   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT '$.tags[*]', 'string', CAST(COUNT(*) AS BIGINT),
+                   CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
+                   CAST(MIN(length(source)) AS BIGINT),
+                   CAST(MAX(length(source)) AS BIGINT)
+            FROM documents
+        """,
+        "induced_schema_valid": """
+            SELECT doc_id, doc_id < 1000000 AS valid
+            FROM (SELECT doc_id FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000 FROM documents)
         """,
     })
     return out
