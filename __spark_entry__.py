@@ -1376,6 +1376,45 @@ def q_induced_schema_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "valid"))
 
 
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 schema drift (ops/schema_induction.py::profile_diff): the
+    new crawl shifts the id range (+1), renders n as a string, drops
+    tags, and adds a boolean — so the expected per-path classification
+    is STATIC at every scale factor, which is exactly what the oracle
+    pins."""
+    from gojsonschema_spark.ops.schema_induction import (
+        json_field_profile, profile_diff)
+
+    d = _t(spark, sf_dir, "documents")
+    old_p = json_field_profile(_json_corpus(spark, sf_dir), "doc")
+    new = d.select(F.to_json(F.struct(
+        (F.col("doc_id") + 1).alias("id"),
+        F.when(F.col("doc_id") % 7 != 0, F.col("lang")).alias("lang"),
+        F.col("n_chars").cast("string").alias("n"),
+        F.struct(F.col("n_chars").alias("len")).alias("meta"),
+        F.lit(True).alias("extra"),
+    )).alias("doc"))
+    new_p = json_field_profile(new, "doc")
+    return profile_diff(old_p, new_p).select("path", "status")
+
+
+def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (ops/text.py::normalize_unicode):
+    plant decomposed sequences ('e' -> e + COMBINING ACUTE U+0301),
+    normalize, and the oracle runs DuckDB's native nfc_normalize over
+    the same planted text — two independent NFC implementations must
+    agree byte-for-byte."""
+    from gojsonschema_spark.ops.text import normalize_unicode
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("e"),
+                  F.lit("e\u0301")).alias("text"))  # decomposed, explicit
+    return normalize_unicode(planted, out_col="nfc") \
+        .select("doc_id", "nfc")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1535,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_incremental_bloom": q_exact_dedup_incremental_bloom,
         "json_field_profile": q_json_field_profile,
         "induced_schema_valid": q_induced_schema_valid,
+        "schema_drift": q_schema_drift,
+        "normalize_nfc": q_normalize_nfc,
     }
 
 
@@ -2444,6 +2485,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents
                   UNION ALL
                   SELECT doc_id + 1000000 FROM documents)
+        """,
+        "schema_drift": """
+            SELECT * FROM (VALUES
+                ('$',          'unchanged'),
+                ('$.extra',    'added'),
+                ('$.id',       'bounds_widened'),
+                ('$.lang',     'unchanged'),
+                ('$.meta',     'unchanged'),
+                ('$.meta.len', 'unchanged'),
+                ('$.n',        'type_changed'),
+                ('$.tags',     'removed'),
+                ('$.tags[*]',  'removed')
+            ) AS t(path, status)
+        """,
+        "normalize_nfc": """
+            SELECT doc_id,
+                   nfc_normalize(replace(text, 'e', 'e' || chr(769)))
+                       AS nfc
+            FROM documents
         """,
     })
     return out

@@ -39,7 +39,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["json_field_profile", "json_field_enums", "induce_schema"]
+__all__ = ["json_field_profile", "json_field_enums", "induce_schema",
+           "profile_diff"]
 
 _LONG = "\x00LONG"           # enum-killing sentinel for oversized scalars
 _PROFILE_SCHEMA = ("steps array<string>, path string, jtype string, "
@@ -278,3 +279,53 @@ def induce_schema(df: DataFrame, json_col: str, *,
     root = build(())
     root["$schema"] = "http://json-schema.org/draft-07/schema#"
     return root
+
+
+def profile_diff(old_prof: DataFrame, new_prof: DataFrame) -> DataFrame:
+    """Schema drift between two field profiles (both outputs of
+    :func:`json_field_profile`, e.g. yesterday's crawl vs today's):
+    one row per path with
+
+    * ``status`` — ``added`` / ``removed`` / ``type_changed`` (observed
+      type sets differ) / ``bounds_widened`` (new values outside the
+      old numeric/length envelope — documents that would FAIL a schema
+      induced from the old crawl with ``bounds=True``) / ``unchanged``
+    * ``old_types`` / ``new_types`` — CSV of observed types (CSV, not
+      array: the driver-side result hashers can't sort array columns)
+    * ``n_old`` / ``n_new`` — total occurrences.
+
+    Both profiles roll up to path grain first (path-sized), then one
+    full-outer join on path — nothing here scales with the corpus, only
+    with the path vocabulary. This is the alerting table: feed
+    ``status != 'unchanged'`` to the crawl-health dashboard next to
+    ops/incremental.crawl_diff_summary."""
+    def _rollup(prof: DataFrame, tag: str) -> DataFrame:
+        return prof.groupBy("path").agg(
+            F.array_join(F.array_sort(F.collect_set("jtype")), ",")
+            .alias(f"{tag}_types"),
+            F.min("min_num").alias(f"{tag}_min_num"),
+            F.max("max_num").alias(f"{tag}_max_num"),
+            F.min("min_len").alias(f"{tag}_min_len"),
+            F.max("max_len").alias(f"{tag}_max_len"),
+            F.sum("n").alias(f"n_{tag}"))
+
+    o = _rollup(old_prof, "old")
+    n = _rollup(new_prof, "new")
+    j = o.join(n, "path", "full_outer")
+    # comparisons against NULL bounds yield NULL -> when() falls through
+    widened = ((F.col("new_min_num") < F.col("old_min_num")) |
+               (F.col("new_max_num") > F.col("old_max_num")) |
+               (F.col("new_min_len") < F.col("old_min_len")) |
+               (F.col("new_max_len") > F.col("old_max_len")))
+    status = (F.when(F.col("old_types").isNull(), F.lit("added"))
+              .when(F.col("new_types").isNull(), F.lit("removed"))
+              .when(F.col("old_types") != F.col("new_types"),
+                    F.lit("type_changed"))
+              .when(widened, F.lit("bounds_widened"))
+              .otherwise(F.lit("unchanged")))
+    return j.select(
+        "path", status.alias("status"),
+        F.coalesce("old_types", F.lit("")).alias("old_types"),
+        F.coalesce("new_types", F.lit("")).alias("new_types"),
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"))

@@ -15,7 +15,7 @@ __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "pack_sequences", "redact_pii", "gopher_quality_filter",
            "c4_quality_filter", "token_vocab", "fix_mojibake",
            "mojibake_repairs", "mojibake_sql_expr", "bpe_pair_counts",
-           "bpe_train"]
+           "bpe_train", "normalize_unicode"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -697,3 +697,29 @@ def bpe_train(df: DataFrame, n_merges: int, text_col: str = "text",
         if (i + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
     return merges
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      form: str = "NFC",
+                      out_col: str | None = None) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — run before
+    fingerprinting/dedup so canonically-equivalent byte sequences
+    (precomposed ``é`` vs ``e``+combining-acute) dedup together.
+    Arrow-batched pandas UDF over ``unicodedata`` (Spark has no native
+    normalizer); map-side, zero shuffle, marked nondeterministic per
+    the optimizer-clone trap. The NFC path is oracled against DuckDB's
+    ``nfc_normalize``."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(s):
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize(form, t))
+
+    udf = pandas_udf(_norm, "string").asNondeterministic()
+    return df.withColumn(out_col or text_col, udf(F.col(text_col)))

@@ -1961,3 +1961,21 @@ def test_exact_dedup_incremental_bloom_identical(spark):
     again = sorted(r.doc_id for r in inc.exact_dedup_incremental(
         new, big_store, bloom_fpp=0.01).collect())
     assert again == plain
+
+
+def test_normalize_unicode(spark):
+    from gojsonschema_spark.ops.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [("é café",), ("ﬁne ²",), (None,)], ["text"])
+    nfc = [r.text for r in normalize_unicode(df).collect()]
+    assert nfc == ["é café", "ﬁne ²", None]     # NFC composes, keeps compat
+    nfkc = [r.t for r in
+            normalize_unicode(df, form="NFKC", out_col="t").collect()]
+    assert nfkc == ["é café", "fine 2", None]   # NFKC folds compat forms
+    import pytest as _pt
+    with _pt.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, form="NFX")
+    plan = normalize_unicode(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

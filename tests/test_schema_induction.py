@@ -112,3 +112,23 @@ def test_induce_schema_knobs_and_guards(spark):
         json_field_profile(mixed, "doc", on_invalid="error").collect()
     with pytest.raises(ValueError, match="empty or all-invalid"):
         induce_schema(spark.createDataFrame([("nope",)], ["doc"]), "doc")
+
+
+def test_profile_diff(spark):
+    from gojsonschema_spark.ops.schema_induction import profile_diff
+
+    old_docs = [{"id": i, "n": 10 + i, "tags": ["a"], "name": "x" * 3}
+                for i in range(5)]
+    new_docs = [{"id": i + 1, "n": str(10 + i), "name": "x" * (3 + i % 2),
+                 "extra": True} for i in range(5)]
+    old_p = json_field_profile(_df(spark, old_docs), "doc")
+    new_p = json_field_profile(_df(spark, new_docs), "doc")
+    d = {r.path: (r.status, r.old_types, r.new_types, r.n_old, r.n_new)
+         for r in profile_diff(old_p, new_p).collect()}
+    assert d["$.id"][0] == "bounds_widened"       # max 4 -> 5
+    assert d["$.n"] == ("type_changed", "integer", "string", 5, 5)
+    assert d["$.tags"][0] == "removed" and d["$.tags[*]"][0] == "removed"
+    assert d["$.extra"] == ("added", "", "boolean", 0, 5)
+    assert d["$.name"][0] == "bounds_widened"     # maxLength 3 -> 4
+    assert d["$"][0] == "unchanged"
+    assert d["$.tags"][4] == 0                    # n_new coalesced
