@@ -326,6 +326,28 @@ def bench_queries(spark) -> dict[str, float]:
     run("sessionize_batch", lambda: sessionize_batch(
         events_sf, "user_id", "ts", 1800.0)
         .agg(F.count(F.lit(1)), F.sum("n_events")).collect())
+    # r5 ops: 115-replace mojibake chain (map-side), BPE pair counts
+    # (vocab-sized shuffles), the Arrow JSON field walker, and the
+    # Bloom-reduced day-2 anti-join (vs dedup_incremental_exact above)
+    run("fix_mojibake", lambda: tx.fix_mojibake(pages.select("text"))
+        .agg(F.sum(F.length("text"))).collect(), reps=2)
+    run("bpe_pair_counts", lambda: tx.bpe_pair_counts(pages.select("text"))
+        .agg(F.count(F.lit(1)), F.sum("n")).collect(), reps=2)
+    from gojsonschema_spark.ops.schema_induction import json_field_profile
+    run("json_field_profile", lambda: json_field_profile(docs, "doc")
+        .agg(F.count(F.lit(1)), F.sum("n")).collect(), reps=2)
+    # the representative day-2 shape (|store| >> |new|: full-corpus
+    # store, ~10% new crawl, n_items pre-known so no count job). At this
+    # scale the saved store shuffle is nearly free locally, so the Bloom
+    # probe's Python cost shows as overhead vs a hypothetical plain run
+    # — the op exists for the 10^12-row store where shuffle dominates;
+    # see ops/bloom.py. Benched to keep the probe's constant visible.
+    small_new = staged.filter(F.xxhash64("url") % 10 == 0)
+    full_store = inc.fingerprint_store(staged)
+    run("dedup_day2_bloom_10pct", lambda: inc.exact_dedup_incremental(
+        small_new, full_store, bloom_fpp=0.01,
+        bloom_n_items=max(N_PAGES // 10, 1))
+        .agg(F.count(F.lit(1))).collect(), reps=2)
 
     return timings
 

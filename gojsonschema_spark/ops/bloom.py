@@ -19,12 +19,16 @@ Implementation notes (the part worth reading):
   JVM-side as ``pmod(xxhash64(key, i), m)`` for i in 0..k-1 — native
   columns, codegen, identical on build and probe by construction.
   Python never hashes anything.
-* **Build** aggregates per-partition numpy bitmaps (``mapInPandas``,
-  ``np.bitwise_or.at`` handles duplicate positions) and ORs them on
-  the driver via ``toLocalIterator`` — driver memory is TWO bitmaps,
-  not partitions x bitmap. At 10^9 new-crawl keys and 1% fpp the
-  bitmap is ~1.2 GB: still broadcastable, and the build side is the
-  SMALL side by assumption (that asymmetry is the whole point).
+* **Build** is sparse: each partition emits only its NON-ZERO 64-bit
+  words (vectorized sort + ``bitwise_or.reduceat``), Spark's native
+  ``bit_or`` aggregate ORs them across partitions (map-side partial
+  combine — the shuffle carries at most ``min(n*k, m/64)`` word rows),
+  and the driver scatters the aggregated words into the bitmap. One
+  parallel job, no per-partition round trips (a ``toLocalIterator``
+  formulation measured ~6s of serialized mini-jobs at 64 partitions).
+  At 10^9 new-crawl keys and 1% fpp the bitmap is ~1.2 GB — the driver
+  must hold it either way, and the build side is the SMALL side by
+  assumption (that asymmetry is the whole point).
 * **Probe** is an Arrow-batched pandas UDF over the k JVM-computed
   position columns (vectorized numpy gather + AND; marked
   nondeterministic per the optimizer-clone trap). Python-in-hot-path
@@ -47,13 +51,13 @@ __all__ = ["BloomFilter", "bloom_build", "bloom_probe", "bloom_sizing"]
 
 def bloom_sizing(n_items: int, fpp: float) -> tuple[int, int]:
     """Textbook sizing: bits ``m = ceil(-n ln p / ln(2)^2)`` rounded up
-    to a byte multiple, hashes ``k = round(m/n ln 2)`` clamped to
+    to a 64-bit-word multiple, hashes ``k = round(m/n ln 2)`` clamped to
     [1, 16]."""
     if not (0 < fpp < 1):
         raise ValueError("fpp must be in (0, 1)")
     n = max(n_items, 1)
     m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
-    m = (m + 7) // 8 * 8
+    m = (m + 63) // 64 * 64
     k = min(16, max(1, round(m / n * math.log(2))))
     return m, k
 
@@ -89,28 +93,44 @@ def bloom_build(df: DataFrame, col: str, *, n_items: int | None = None,
         m_bits, auto_k = bloom_sizing(n_items, fpp)
         k = k or auto_k
     else:
-        m_bits = (m_bits + 7) // 8 * 8
+        m_bits = (m_bits + 63) // 64 * 64
         k = k or 5
     m, kk = m_bits, k
 
     pos = df.select(*[p.alias(f"p{i}")
                       for i, p in enumerate(_positions(F.col(col), m, kk))])
 
-    def _setbits(batches):
-        bm = np.zeros(m // 8, dtype=np.uint8)
+    def _words(batches):
+        # per partition: positions -> (word index, word value) for the
+        # non-zero 64-bit words only; sort + reduceat ORs duplicates
+        idxs: list = []
+        vals: list = []
         for pdf in batches:
             for c in pdf.columns:
                 p = pdf[c].to_numpy(dtype=np.int64)
-                np.bitwise_or.at(
-                    bm, p >> 3,
-                    np.left_shift(np.uint8(1), (p & 7).astype(np.uint8)))
-        yield pd.DataFrame({"bm": [bm.tobytes()]})
+                idxs.append(p >> 6)
+                vals.append(np.left_shift(
+                    np.uint64(1), (p & 63).astype(np.uint64)))
+        if not idxs:
+            yield pd.DataFrame({"i": [], "w": []})
+            return
+        idx = np.concatenate(idxs)
+        val = np.concatenate(vals)
+        order = np.argsort(idx, kind="stable")
+        idx, val = idx[order], val[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(idx) != 0])
+        yield pd.DataFrame({
+            "i": idx[starts],
+            "w": np.bitwise_or.reduceat(val, starts).view(np.int64)})
 
-    acc = np.zeros(m // 8, dtype=np.uint8)
-    # toLocalIterator: driver holds the accumulator + one partition
-    # bitmap at a time, never partitions-many
-    for row in pos.mapInPandas(_setbits, "bm binary").toLocalIterator():
-        acc |= np.frombuffer(row.bm, dtype=np.uint8)
+    words = (pos.mapInPandas(_words, "i long, w long")
+             .groupBy("i").agg(F.bit_or("w").alias("w")).collect())
+    acc = np.zeros(m // 64, dtype="<u8")
+    if words:
+        wi = np.fromiter((r.i for r in words), dtype=np.int64, count=len(words))
+        wv = np.fromiter((r.w for r in words), dtype=np.int64,
+                         count=len(words)).view("<u8")
+        acc[wi] = wv
     return BloomFilter(bits=acc.tobytes(), m=m, k=kk)
 
 
