@@ -1415,6 +1415,21 @@ def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "nfc")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (ops/lm.py): train a
+    bigram stupid-backoff model on the doc_id%4==0 reference slice,
+    score EVERY document by mean log-probability per token. The oracle
+    re-derives the whole pipeline (token positions, counts,
+    conditionals, backoff, per-doc mean) in DuckDB from the raw text."""
+    from gojsonschema_spark.ops.lm import lm_score, lm_train
+
+    d = _t(spark, sf_dir, "documents")
+    model = lm_train(d.filter(F.col("doc_id") % 4 == 0))
+    return (lm_score(d, model)
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "log_prob_per_token"))
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1576,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_schema_valid": q_induced_schema_valid,
         "schema_drift": q_schema_drift,
         "normalize_nfc": q_normalize_nfc,
+        "lm_score": q_lm_score,
     }
 
 
@@ -2504,6 +2520,54 @@ def oracle_sql() -> dict[str, str]:
                    nfc_normalize(replace(text, 'e', 'e' || chr(769)))
                        AS nfc
             FROM documents
+        """,
+        "lm_score": """
+            WITH toks0 AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, len(toks) AS n_tokens, i, toks[i] AS word,
+                       CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+                FROM toks0,
+                     UNNEST(generate_series(1, len(toks))) AS t(i)
+            ), train AS (
+                SELECT * FROM pos WHERE doc_id % 4 = 0
+            ), uni AS (
+                SELECT word, COUNT(*) AS c FROM train GROUP BY word
+            ), n_total AS (
+                SELECT SUM(c) AS n FROM uni
+            ), p_bg AS (
+                SELECT bg.prev, bg.word, bg.c_bg * 1.0 / u.c AS p_bg
+                FROM (SELECT prev, word, COUNT(*) AS c_bg FROM train
+                      WHERE prev IS NOT NULL GROUP BY prev, word) bg
+                JOIN uni u ON u.word = bg.prev
+            ), scored AS (
+                SELECT p.doc_id, p.n_tokens,
+                       CASE WHEN p.i = 1 THEN
+                           ln(coalesce(u.c * 1.0 / n_total.n,
+                                       1.0 / n_total.n))
+                       ELSE
+                           ln(coalesce(pb.p_bg,
+                               0.4 * coalesce(u.c * 1.0 / n_total.n,
+                                              1.0 / n_total.n)))
+                       END AS logp
+                FROM pos p CROSS JOIN n_total
+                LEFT JOIN p_bg pb
+                    ON pb.prev = p.prev AND pb.word = p.word
+                LEFT JOIN uni u ON u.word = p.word
+            ), agg AS (
+                SELECT doc_id, MAX(n_tokens) AS n_tokens,
+                       SUM(logp) AS lp
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   COALESCE(round(a.lp / a.n_tokens, 6), 0.0)
+                       AS log_prob_per_token
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     })
     return out
