@@ -1430,6 +1430,49 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "log_prob_per_token"))
 
 
+def _fixed_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic centroids for the oracled clustering rows: the
+    embedding vectors of vec_id 0..7 in vec_id order (cid == vec_id).
+    A k-means FIT is iterative and not SQL-expressible; fixing the
+    centroids makes assignment + semdedup independently derivable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means assignment (ops/clustering.py): nearest centroid by
+    squared L2 over the Arrow production path (numpy per batch, zero
+    shuffle). dist2 is clamped at 0 before rounding — the factored
+    ||x||^2 - 2xc + ||c||^2 form can go -1e-12 for exact matches and
+    round to -0.0, which hashes differently from the oracle's 0.0."""
+    from gojsonschema_spark.ops.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, _fixed_centroids(spark, sf_dir))
+    return out.select(
+        "vec_id", "cid",
+        F.round(F.greatest(F.col("dist2"), F.lit(0.0)), 6).alias("dist2"))
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ops/clustering.py): cluster-confined cosine near-dup
+    pruning over a corpus with planted perturbed copies (the same
+    planting as dedup_embedding). The oracle re-derives assignment,
+    within-cluster pairs and canonical-min-id survivors in DuckDB."""
+    from gojsonschema_spark.ops.clustering import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: x * F.lit(1.001)).alias("embedding")))
+    out = semdedup(planted, centroids=_fixed_centroids(spark, sf_dir),
+                   threshold=0.99)
+    return out.select("vec_id", "cid", "keep")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1592,6 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift": q_schema_drift,
         "normalize_nfc": q_normalize_nfc,
         "lm_score": q_lm_score,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
     }
 
 
@@ -2568,6 +2613,66 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(round(a.lp / a.n_tokens, 6), 0.0)
                        AS log_prob_per_token
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "kmeans_assign": """
+            WITH c AS (
+                SELECT CAST(vec_id AS INT) AS cid,
+                       CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), d AS (
+                SELECT e.vec_id, c.cid,
+                       list_aggregate(
+                           list_transform(
+                               list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+                               p -> (p[1] - p[2]) * (p[1] - p[2])),
+                           'sum') AS d2
+                FROM embeddings e CROSS JOIN c
+            ), ranked AS (
+                SELECT vec_id, cid, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM d
+            )
+            SELECT vec_id, cid, round(greatest(d2, 0.0), 6) AS dist2
+            FROM ranked WHERE rn = 1
+        """,
+        "semdedup": """
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * 1.001)
+                FROM embeddings WHERE vec_id % 20 = 0
+            ), c AS (
+                SELECT CAST(vec_id AS INT) AS cid,
+                       CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), d AS (
+                SELECT corpus.vec_id, corpus.v, c.cid,
+                       list_aggregate(
+                           list_transform(list_zip(corpus.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+                           'sum') AS d2
+                FROM corpus CROSS JOIN c
+            ), assigned AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cid) AS rn
+                    FROM d) WHERE rn = 1
+            ), losers AS (
+                SELECT DISTINCT b.vec_id
+                FROM assigned a JOIN assigned b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.v, b.v) /
+                            (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12) *
+                             greatest(sqrt(list_dot_product(b.v, b.v)), 1e-12)),
+                            6) >= 0.99
+            )
+            SELECT a.vec_id, a.cid,
+                   (l.vec_id IS NULL) AS keep
+            FROM assigned a LEFT JOIN losers l USING (vec_id)
         """,
     })
     return out
