@@ -1473,6 +1473,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cid", "keep")
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text top-k (ops/search.py): postings with map-side dl,
+    per-term df over the query's candidates only, native scoring, one
+    TakeOrderedAndProject. The oracle re-derives the entire ranking —
+    tokenization, stats, idf, tf norm — in DuckDB SQL with matched FP
+    expression shapes."""
+    from gojsonschema_spark.ops.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "hash join spark window", k=25)
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1637,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
+        "bm25_topk": q_bm25,
     }
 
 
@@ -2673,6 +2686,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, a.cid,
                    (l.vec_id IS NULL) AS keep
             FROM assigned a LEFT JOIN losers l USING (vec_id)
+        """,
+        # FP expression shapes (parenthesization, literal sums like
+        # (1.2 + 1.0)) mirror ops/search.py::_bm25_score exactly —
+        # IEEE addition isn't associative, keep them matched.
+        "bm25_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(text, '[A-Za-z0-9]+'),
+                           t -> lower(t)) AS toks
+                FROM documents
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(len(toks)) AS avgdl
+                FROM tok
+            ), posting AS (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM tok
+            ), cand AS (
+                SELECT term, doc_id, dl, count(*) AS tf
+                FROM posting
+                WHERE term IN ('hash', 'join', 'spark', 'window')
+                GROUP BY 1, 2, 3
+            ), tdf AS (
+                SELECT term, count(*) AS df FROM cand GROUP BY 1
+            ), scored AS (
+                SELECT c.doc_id,
+                       ln(((s.n_docs - t.df + CAST(0.5 AS DOUBLE)) /
+                           (t.df + CAST(0.5 AS DOUBLE))) + 1.0)
+                       * (c.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                       / (c.tf + CAST(1.2 AS DOUBLE) *
+                          (CAST(0.25 AS DOUBLE) +
+                           CAST(0.75 AS DOUBLE) * (c.dl / s.avgdl))) AS s
+                FROM cand c JOIN tdf t USING (term), stats s
+            )
+            SELECT doc_id, round(sum(s), 6) AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 25
         """,
     })
     return out

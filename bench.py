@@ -208,6 +208,12 @@ def bench_queries(spark) -> dict[str, float]:
             .select("embedding").collect()[0][0]]
     run("ann_topk", lambda: sim.brute_force_topk(emb, qvec, k=10).collect())
 
+    # BM25 full-text top-k over the full page count: postings build +
+    # query-term scoring in one job, TakeOrderedAndProject at the top
+    from gojsonschema_spark.ops.search import bm25_topk
+    run("bm25_search", lambda: bm25_topk(
+        pages, "table scan web crawl", k=10, key_col="url").collect())
+
     # per-row schema dispatch: three page kinds, one shared parse, no
     # Python (all three kinds stay on the column plan)
     from gojsonschema_spark.ops.webpages import FLAGSHIP_SCHEMA
