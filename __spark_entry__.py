@@ -1485,6 +1485,28 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, "hash join spark window", k=25)
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span detection (ops/spans.py, Lee et al. 2022
+    ExactSubstr re-expressed distributed): corpus-wide 5-gram counts,
+    per-doc duplicated-start positions and covered-token mass. Integer
+    set algebra throughout — the only float is one int/int division.
+    Arrays rendered CSV for the driver hasher; counters cast to long on
+    both sides."""
+    from gojsonschema_spark.ops.spans import repeated_ngram_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = repeated_ngram_spans(d, n=5, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(",", F.transform("dup_starts",
+                                     lambda x: x.cast("string")))
+        .alias("dup_starts"),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+        F.col("dup_token_mass").cast("long").alias("dup_token_mass"),
+        "dup_frac")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1650,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "semdedup": q_semdedup,
         "bm25_topk": q_bm25,
+        "repeated_spans": q_repeated_spans,
     }
 
 
@@ -2724,6 +2747,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(sum(s), 6) AS bm25
             FROM scored GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id LIMIT 25
+        """,
+        "repeated_spans": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(text, '\\s+') END AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       CASE WHEN len(toks) >= 5
+                            THEN list_transform(
+                                range(1, len(toks) - 3),
+                                i -> md5(array_to_string(toks[i:i+4], ' ')))
+                            ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM tok
+            ), p AS (
+                SELECT doc_id, unnest(grams) AS fp,
+                       unnest(range(0, len(grams))) AS pos0
+                FROM g
+            ), c AS (
+                SELECT fp FROM p GROUP BY fp HAVING count(*) >= 2
+            ), hits AS (
+                SELECT doc_id, list_sort(list(pos0)) AS dup_starts
+                FROM p JOIN c USING (fp) GROUP BY doc_id
+            ), j AS (
+                SELECT g.doc_id, g.n_tokens,
+                       coalesce(h.dup_starts, CAST([] AS BIGINT[])) AS ds
+                FROM g LEFT JOIN hits h USING (doc_id)
+            ), cov AS (
+                SELECT doc_id, n_tokens, ds,
+                       len(list_distinct(flatten(
+                           list_transform(ds, s -> range(s, s + 5))))) AS mass
+                FROM j
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   coalesce(array_to_string(
+                       list_transform(ds, x -> CAST(x AS VARCHAR)),
+                       ','), '') AS dup_starts,
+                   CAST(len(ds) AS BIGINT) AS n_dup_grams,
+                   CAST(mass AS BIGINT) AS dup_token_mass,
+                   CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE mass / n_tokens END AS dup_frac
+            FROM cov
         """,
     })
     return out

@@ -214,6 +214,14 @@ def bench_queries(spark) -> dict[str, float]:
     run("bm25_search", lambda: bm25_topk(
         pages, "table scan web crawl", k=10, key_col="url").collect())
 
+    # exact repeated-span mass (Lee et al. ExactSubstr): 20-gram
+    # fingerprints, corpus-wide count, coverage union per doc
+    from gojsonschema_spark.ops.spans import repeated_ngram_spans
+    run("repeated_spans", lambda: repeated_ngram_spans(
+        pages, n=20, min_count=2, key_col="url")
+        .agg(F.sum("dup_token_mass"), F.sum("n_dup_grams")).collect(),
+        reps=2)
+
     # per-row schema dispatch: three page kinds, one shared parse, no
     # Python (all three kinds stay on the column plan)
     from gojsonschema_spark.ops.webpages import FLAGSHIP_SCHEMA
