@@ -1507,6 +1507,29 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_frac")
 
 
+def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring (ops/classifier.py)
+    through the production native-join path: md5-bucketed feature ids
+    (engine-portable by construction), a deterministic integer weight
+    table w(fid) = fid % 1001 - 500 derived from the corpus's own
+    feature space, margin = per-doc occurrence-weight sum. All-integer
+    algebra (margins are exact doubles well under 2^53) cast to long
+    for the driver hasher; prob omitted (exp() is not required to be
+    correctly rounded, so cross-engine sigmoid bits can differ)."""
+    from gojsonschema_spark.ops.classifier import (hashed_feature_ids,
+                                                   score_quality_native)
+
+    dim = 4096
+    d = _t(spark, sf_dir, "documents")
+    weights = (d.select(F.explode(hashed_feature_ids("text", dim))
+                        .alias("fid"))
+               .distinct()
+               .select("fid", (F.col("fid") % 1001 - 500)
+                       .cast("double").alias("w")))
+    out = score_quality_native(d, weights, dim, "doc_id")
+    return out.select("doc_id", F.col("margin").cast("long").alias("margin"))
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1673,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "bm25_topk": q_bm25,
         "repeated_spans": q_repeated_spans,
+        "quality_clf": q_quality_clf,
     }
 
 
@@ -2792,6 +2816,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens = 0 THEN 0.0
                         ELSE mass / n_tokens END AS dup_frac
             FROM cov
+        """,
+        "quality_clf": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS t
+                FROM documents
+            ), occ AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096 AS fid
+                FROM tok WHERE t <> ''
+            ), m AS (
+                SELECT doc_id, SUM(fid % 1001 - 500) AS s
+                FROM occ GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(m.s, 0) AS BIGINT) AS margin
+            FROM documents d LEFT JOIN m USING (doc_id)
         """,
     })
     return out

@@ -222,6 +222,24 @@ def bench_queries(spark) -> dict[str, float]:
         .agg(F.sum("dup_token_mass"), F.sum("n_dup_grams")).collect(),
         reps=2)
 
+    # hashed-feature linear classifier: 2 full-batch GD iterations
+    # (sparse per-batch gradients, <= dim-row driver collect per iter)
+    # + native-join scoring of the trained weights over the corpus
+    from gojsonschema_spark.ops.classifier import (score_quality_native,
+                                                   train_quality_classifier,
+                                                   weights_table)
+
+    def run_clf():
+        labeled = pages.withColumn("y", (F.crc32("url") % 2).cast("int"))
+        model = train_quality_classifier(labeled, "y", dim=1 << 16,
+                                         n_iters=2)
+        wtab = weights_table(spark, model)
+        (score_quality_native(pages, wtab, 1 << 16, "url",
+                              bias=model["bias"])
+         .agg(F.sum("margin")).collect())
+
+    run("quality_clf_train2_score", run_clf, reps=2)
+
     # per-row schema dispatch: three page kinds, one shared parse, no
     # Python (all three kinds stay on the column plan)
     from gojsonschema_spark.ops.webpages import FLAGSHIP_SCHEMA

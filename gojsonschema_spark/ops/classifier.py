@@ -1,0 +1,256 @@
+"""Hashed bag-of-words linear quality classifier — trainable in-engine.
+
+The "looks like the reference corpus" stage of GPT-3/PaLM-class data
+pipelines (Brown et al. 2020 §A; CCNet's linear variant): train a
+logistic-regression classifier on hashed token features with a
+positive set (curated text) vs a negative set (raw crawl), score every
+document, and keep/bucket on the score. The reference engine
+(gojsonschema) has no classifier; like ops/lm.py this is one of the
+dataset-level operators the graft adds beyond schema validation.
+
+Scale shape (10^12 documents):
+
+* **Featurization is map-side and engine-portable**: token ->
+  ``conv(substring(md5(token), 1, 8), 16, 10) % dim`` (the md5 keying
+  rule from ops/dataset_checks.hash_split — xxhash64 would be
+  JVM-only, md5 reproduces in any SQL oracle engine). No shuffle; the
+  per-doc feature array never leaves its partition during training.
+* **Training never ships dense gradients**: each Arrow batch emits its
+  gradient SPARSELY as (fid, partial) rows — a batch can only touch
+  the fids its documents contain — plus bias/loss/count accumulator
+  rows. The shuffle carries map-side-combined (fid, partial) pairs,
+  the driver collects <= dim+3 rows per iteration, and the weight
+  vector (dim float64, ~2 MB at the 2^18 default) ships back inside
+  the next iteration's closure. One job per iteration over a persisted
+  featurized projection (plan is static across iterations — persist
+  suffices, no lineage growth, cf. the localCheckpoint rule for
+  label-propagation loops in ops/dedup.duplicate_clusters).
+* **Scoring has two equivalence-tested paths**: the native SQL join
+  (explode occurrences -> join the (fid, w) weights table -> per-doc
+  sum) keeps everything JVM-side — the weights table is bounded by
+  ``dim`` (guarded <= 2^22), so broadcasting it is safe by
+  construction; and a zero-shuffle Arrow path for driver-held models.
+
+Full-batch gradient descent is deterministic up to float-addition
+order (partials combine through a hash aggregate); tests pin the
+trained weights against an independent numpy reference at rtol.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField,
+                               StructType)
+
+__all__ = [
+    "hashed_feature_ids",
+    "train_quality_classifier",
+    "weights_table",
+    "score_quality_native",
+    "score_quality",
+]
+
+MAX_DIM = 1 << 22  # driver weight vector <= 32 MB
+
+
+def _check_dim(dim: int) -> None:
+    if not 1 <= dim <= MAX_DIM:
+        raise ValueError(f"dim must be in [1, {MAX_DIM}], got {dim}")
+
+
+def hashed_feature_ids(text_col: str, dim: int,
+                       lowercase: bool = True) -> Column:
+    """Array of hashed token feature ids (one per occurrence —
+    duplicates ARE the term frequency). md5-bucketed so any SQL engine
+    reproduces the ids bit-for-bit."""
+    _check_dim(dim)
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.array_remove(F.split(text, r"\s+"), "")
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("long") % dim)
+
+
+_GRAD_SCHEMA = StructType([
+    StructField("fid", LongType()),
+    StructField("g", DoubleType()),
+])
+_BIAS, _LOSS, _COUNT = -1, -2, -3  # accumulator pseudo-fids
+
+
+def train_quality_classifier(
+        df: DataFrame, label_col: str, text_col: str = "text",
+        dim: int = 1 << 18, n_iters: int = 20, lr: float = 1.0,
+        l2: float = 0.0, lowercase: bool = True,
+        cache: bool = True) -> dict:
+    """Full-batch logistic regression over hashed bag-of-words.
+
+    Returns ``{"w": list[float] (len dim), "bias": float,
+    "losses": list[float] (mean log-loss per iteration), "dim": dim}``.
+    ``label_col`` must be 0/1 (validated distributed — anything else
+    raises). ``cache=True`` persists the featurized (fids, label)
+    projection across iterations (MEMORY_AND_DISK; at extreme corpus
+    sizes pass False to re-tokenize per iteration instead of spilling
+    a corpus-sized projection).
+    """
+    import numpy as np
+
+    _check_dim(dim)
+    feat = df.select(
+        hashed_feature_ids(text_col, dim, lowercase).alias("fids"),
+        F.col(label_col).cast("double").alias("y"))
+    if cache:
+        feat = feat.persist()
+    try:
+        bad = feat.filter(~F.col("y").isin(0.0, 1.0) |
+                          F.col("y").isNull()).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"label column {label_col!r} must be 0/1, saw {bad[0].y!r}")
+
+        w = np.zeros(dim, dtype=np.float64)
+        bias = 0.0
+        losses: list[float] = []
+        for _ in range(n_iters):
+            w_iter, b_iter = w, bias  # ship current model in the closure
+
+            def partials(batches: Iterator) -> Iterator:
+                import numpy as np
+                import pandas as pd
+                acc: dict = {}
+                loss = 0.0
+                n = 0
+                eps = 1e-12  # exp underflow can round p to exactly 0/1
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    lists = [np.asarray(v, dtype=np.int64)
+                             for v in pdf["fids"]]
+                    lens = np.fromiter((len(v) for v in lists),
+                                       dtype=np.int64, count=len(lists))
+                    flat = (np.concatenate(lists) if lens.sum()
+                            else np.empty(0, dtype=np.int64))
+                    docix = np.repeat(np.arange(len(lists)), lens)
+                    m = np.zeros(len(lists), dtype=np.float64)
+                    if flat.size:
+                        np.add.at(m, docix, w_iter[flat])
+                    m += b_iter
+                    p = 1.0 / (1.0 + np.exp(-m))
+                    y = pdf["y"].to_numpy(dtype=np.float64)
+                    loss -= (y * np.log(np.maximum(p, eps))
+                             + (1.0 - y)
+                             * np.log(np.maximum(1.0 - p, eps))).sum()
+                    r = p - y
+                    if flat.size:
+                        uf, inv = np.unique(flat, return_inverse=True)
+                        gp = np.bincount(inv, weights=r[docix])
+                        for fid, gv in zip(uf.tolist(), gp.tolist()):
+                            acc[fid] = acc.get(fid, 0.0) + gv
+                    acc[_BIAS] = acc.get(_BIAS, 0.0) + float(r.sum())
+                    n += len(lists)
+                acc[_LOSS] = acc.get(_LOSS, 0.0) + loss
+                acc[_COUNT] = acc.get(_COUNT, 0.0) + float(n)
+                yield pd.DataFrame(
+                    {"fid": np.fromiter(acc.keys(), dtype=np.int64,
+                                        count=len(acc)),
+                     "g": np.fromiter(acc.values(), dtype=np.float64,
+                                      count=len(acc))})
+
+            rows = (feat.mapInPandas(partials, _GRAD_SCHEMA)
+                    .groupBy("fid").agg(F.sum("g").alias("g"))
+                    .collect())
+            sums = {r.fid: r.g for r in rows}
+            n = sums.pop(_COUNT, 0.0)
+            if n == 0:
+                raise ValueError("empty training corpus")
+            losses.append(sums.pop(_LOSS, 0.0) / n)
+            gb = sums.pop(_BIAS, 0.0) / n
+            grad = np.zeros(dim, dtype=np.float64)
+            if sums:
+                fids = np.fromiter(sums.keys(), dtype=np.int64,
+                                   count=len(sums))
+                grad[fids] = np.fromiter(sums.values(), dtype=np.float64,
+                                         count=len(sums))
+            grad /= n
+            if l2:
+                grad += l2 * w
+            w = w - lr * grad
+            bias = bias - lr * gb
+        return {"w": w.tolist(), "bias": float(bias), "losses": losses,
+                "dim": dim}
+    finally:
+        if cache:
+            feat.unpersist()
+
+
+def weights_table(spark, model: dict, drop_zero: bool = True) -> DataFrame:
+    """(fid, w) DataFrame for the native scoring join. ``drop_zero``
+    omits never-touched features (absent fid == weight 0 under the
+    LEFT join in :func:`score_quality_native`)."""
+    rows = [(i, wi) for i, wi in enumerate(model["w"])
+            if not (drop_zero and wi == 0.0)]
+    return spark.createDataFrame(rows, "fid long, w double")
+
+
+def score_quality_native(df: DataFrame, weights: DataFrame, dim: int,
+                         key_col: str, text_col: str = "text",
+                         bias: float = 0.0,
+                         lowercase: bool = True) -> DataFrame:
+    """Pure-JVM scoring: one explode over token occurrences, LEFT join
+    the (bounded, <= dim rows) weights table, per-doc sum. Emits
+    ``margin`` (= bias + sum of occurrence weights; docs with no
+    tokens score the bias) and ``prob``. The weights side is
+    broadcast — safe by construction, dim is guarded."""
+    _check_dim(dim)
+    base = df.select(F.col(key_col).alias("key"),
+                     hashed_feature_ids(text_col, dim, lowercase)
+                     .alias("fids"))
+    occ = base.select("key", F.explode_outer("fids").alias("fid"))
+    scored = (occ.join(F.broadcast(weights), "fid", "left")
+              .groupBy("key")
+              .agg((F.lit(bias) + F.coalesce(F.sum("w"), F.lit(0.0)))
+                   .alias("margin")))
+    return (scored
+            .withColumn("prob", F.lit(1.0) /
+                        (F.lit(1.0) + F.exp(-F.col("margin"))))
+            .withColumnRenamed("key", key_col))
+
+
+def score_quality(df: DataFrame, model: dict, key_col: str,
+                  text_col: str = "text",
+                  lowercase: bool = True) -> DataFrame:
+    """Zero-shuffle Arrow scoring for a driver-held model: the weight
+    vector ships in the closure, each batch is one vectorized numpy
+    pass. Equivalence with :func:`score_quality_native` is pinned in
+    tests (same margins at float tolerance)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    dim = model["dim"]
+    _check_dim(dim)
+    w = np.asarray(model["w"], dtype=np.float64)
+    bias = float(model["bias"])
+
+    @pandas_udf("double")
+    def _margin(fids_s):
+        import pandas as pd
+        flat = np.concatenate([np.asarray(v, dtype=np.int64)
+                               for v in fids_s]) \
+            if len(fids_s) else np.empty(0, dtype=np.int64)
+        lens = np.fromiter((len(v) for v in fids_s), dtype=np.int64,
+                           count=len(fids_s))
+        out = np.zeros(len(fids_s), dtype=np.float64)
+        if flat.size:
+            np.add.at(out, np.repeat(np.arange(len(fids_s)), lens),
+                      w[flat])
+        return pd.Series(out + bias)
+
+    margin_udf = _margin.asNondeterministic()  # optimizer-clone trap
+    return (df.select(F.col(key_col),
+                      margin_udf(hashed_feature_ids(
+                          text_col, dim, lowercase)).alias("margin"))
+            .withColumn("prob", F.lit(1.0) /
+                        (F.lit(1.0) + F.exp(-F.col("margin")))))

@@ -1,0 +1,110 @@
+"""Hashed bag-of-words logistic-regression classifier (ops/classifier.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gojsonschema_spark.ops import classifier as clf
+
+GOOD = ["careful measured prose about history and science",
+        "the committee reviewed the archival evidence in detail",
+        "a long considered essay on agriculture and trade",
+        "researchers documented the findings with citations"]
+SPAM = ["buy cheap pills now click here winner",
+        "free money casino jackpot click subscribe now",
+        "cheap cheap deals click banner winner prize",
+        "hot singles casino pills free click now"]
+
+
+def _corpus(spark, n_rep: int = 8):
+    rows = []
+    i = 0
+    for _ in range(n_rep):
+        for t in GOOD:
+            rows.append((i, t, 1)); i += 1
+        for t in SPAM:
+            rows.append((i, t, 0)); i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return clf.train_quality_classifier(
+        _corpus(spark), "y", dim=1 << 12, n_iters=25, lr=2.0)
+
+
+def test_training_separates_planted_classes(spark, model):
+    df = _corpus(spark, n_rep=1)
+    scored = {r.doc_id: r.prob for r in
+              clf.score_quality(df, model, "doc_id").collect()}
+    labels = {r.doc_id: r.y for r in df.collect()}
+    acc = np.mean([(scored[k] > 0.5) == (labels[k] == 1)
+                   for k in labels])
+    assert acc == 1.0
+    # loss decreased monotonically-ish: end well below start
+    assert model["losses"][-1] < 0.2 * model["losses"][0]
+
+
+def test_matches_numpy_reference(spark):
+    """Full-batch GD is deterministic up to float-sum order: the
+    distributed trainer must match an independent dense numpy
+    implementation at tolerance."""
+    dim, iters, lr = 1 << 10, 8, 1.0
+    df = _corpus(spark, n_rep=2)
+    rows = df.select("text", "y").collect()
+    fid_rows = [r.fids for r in df.select(
+        clf.hashed_feature_ids("text", dim).alias("fids")).collect()]
+
+    w = np.zeros(dim); b = 0.0
+    ys = np.array([r.y for r in rows], dtype=np.float64)
+    for _ in range(iters):
+        m = np.array([b + w[np.asarray(f, dtype=np.int64)].sum()
+                      for f in fid_rows])
+        p = 1.0 / (1.0 + np.exp(-m))
+        r = p - ys
+        g = np.zeros(dim)
+        for f, ri in zip(fid_rows, r):
+            np.add.at(g, np.asarray(f, dtype=np.int64), ri)
+        w = w - lr * g / len(rows)
+        b = b - lr * r.mean()
+
+    got = clf.train_quality_classifier(df, "y", dim=dim,
+                                       n_iters=iters, lr=lr)
+    np.testing.assert_allclose(got["w"], w, rtol=1e-8, atol=1e-12)
+    assert abs(got["bias"] - b) < 1e-10
+
+
+def test_native_and_arrow_scoring_agree(spark, model):
+    df = _corpus(spark, n_rep=1).union(
+        spark.createDataFrame([(999, "", 0)],
+                              "doc_id long, text string, y int"))
+    wtab = clf.weights_table(spark, model)
+    native = {r.doc_id: r.margin for r in clf.score_quality_native(
+        df, wtab, model["dim"], "doc_id", bias=model["bias"]).collect()}
+    arrow = {r.doc_id: r.margin for r in
+             clf.score_quality(df, model, "doc_id").collect()}
+    assert set(native) == set(arrow)
+    for k in native:
+        assert native[k] == pytest.approx(arrow[k], rel=1e-9, abs=1e-12)
+    # empty doc scores exactly the bias on both paths
+    assert native[999] == pytest.approx(model["bias"])
+
+
+def test_native_scoring_plan_is_jvm_only(spark, model):
+    wtab = clf.weights_table(spark, model)
+    plan = (clf.score_quality_native(_corpus(spark, 1), wtab,
+                                     model["dim"], "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_guards(spark):
+    df = _corpus(spark, 1)
+    with pytest.raises(ValueError, match="dim"):
+        clf.train_quality_classifier(df, "y", dim=clf.MAX_DIM + 1)
+    bad = spark.createDataFrame([(0, "x", 3)],
+                                "doc_id long, text string, y int")
+    with pytest.raises(ValueError, match="must be 0/1"):
+        clf.train_quality_classifier(bad, "y", dim=64, n_iters=1)
