@@ -1530,6 +1530,26 @@ def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("margin").cast("long").alias("margin"))
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (ops/lm.py +
+    ops/ranking.py): bigram LM trained on the doc_id%4==0 slice scores
+    every document; each language is cut into buckets of equal
+    cumulative TOKEN mass in score order via the skew-immune
+    range-partitioned prefix sum (never a per-language single-reducer
+    window). Integer cumulative weights are exact; share is the IEEE
+    division of the same integers in both engines; the rounded score
+    makes tie order (score desc, doc_id) engine-identical."""
+    from gojsonschema_spark.ops.lm import lm_train, perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    model = lm_train(d.filter(F.col("doc_id") % 4 == 0))
+    out = perplexity_buckets(d, model)
+    return out.select("doc_id", "lang", "log_prob_per_token",
+                      F.col("weight").cast("long").alias("weight"),
+                      F.col("cum_weight").cast("long").alias("cum_weight"),
+                      "share", "bucket")
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1697,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "repeated_spans": q_repeated_spans,
         "quality_clf": q_quality_clf,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
@@ -2833,6 +2854,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(coalesce(m.s, 0) AS BIGINT) AS margin
             FROM documents d LEFT JOIN m USING (doc_id)
+        """,
+        "ppl_buckets": """
+            WITH toks0 AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, len(toks) AS n_tokens, i, toks[i] AS word,
+                       CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+                FROM toks0,
+                     UNNEST(generate_series(1, len(toks))) AS t(i)
+            ), train AS (
+                SELECT * FROM pos WHERE doc_id % 4 = 0
+            ), uni AS (
+                SELECT word, COUNT(*) AS c FROM train GROUP BY word
+            ), n_total AS (
+                SELECT SUM(c) AS n FROM uni
+            ), p_bg AS (
+                SELECT bg.prev, bg.word, bg.c_bg * 1.0 / u.c AS p_bg
+                FROM (SELECT prev, word, COUNT(*) AS c_bg FROM train
+                      WHERE prev IS NOT NULL GROUP BY prev, word) bg
+                JOIN uni u ON u.word = bg.prev
+            ), scored AS (
+                SELECT p.doc_id, p.n_tokens,
+                       CASE WHEN p.i = 1 THEN
+                           ln(coalesce(u.c * 1.0 / n_total.n,
+                                       1.0 / n_total.n))
+                       ELSE
+                           ln(coalesce(pb.p_bg,
+                               0.4 * coalesce(u.c * 1.0 / n_total.n,
+                                              1.0 / n_total.n)))
+                       END AS logp
+                FROM pos p CROSS JOIN n_total
+                LEFT JOIN p_bg pb
+                    ON pb.prev = p.prev AND pb.word = p.word
+                LEFT JOIN uni u ON u.word = p.word
+            ), agg AS (
+                SELECT doc_id, MAX(n_tokens) AS n_tokens,
+                       SUM(logp) AS lp
+                FROM scored GROUP BY doc_id
+            ), sc AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS w,
+                       COALESCE(round(a.lp / a.n_tokens, 6), 0.0) AS lp
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+            ), cum AS (
+                SELECT doc_id, lang, lp, w,
+                       CAST(SUM(w) OVER (
+                           PARTITION BY lang
+                           ORDER BY lp DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                       CAST(SUM(w) OVER (PARTITION BY lang)
+                            AS BIGINT) AS tot
+                FROM sc
+            )
+            SELECT doc_id, lang, lp AS log_prob_per_token,
+                   w AS weight, cw AS cum_weight,
+                   CASE WHEN tot > 0 THEN cw * 1.0 / tot
+                        ELSE 0.0 END AS share,
+                   CASE WHEN tot = 0 OR cw * 1.0 / tot <= 1.0 / 3
+                            THEN 'head'
+                        WHEN cw * 1.0 / tot <= 2.0 / 3 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM cum
         """,
     })
     return out

@@ -33,7 +33,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["BackoffLM", "ngram_counts", "lm_train", "lm_score"]
+__all__ = ["BackoffLM", "ngram_counts", "lm_train", "lm_score",
+           "perplexity_buckets"]
 
 
 def _tokens(text_col: str, lowercase: bool) -> F.Column:
@@ -177,3 +178,33 @@ def lm_score(df: DataFrame, model: BackoffLM, text_col: str = "text",
                             F.sum(logp) / F.max("n_tokens"))
                      .otherwise(F.lit(0.0)), round_to)
                  .alias("log_prob_per_token")))
+
+
+def perplexity_buckets(df: DataFrame, model: BackoffLM,
+                       lang_col: str = "lang", text_col: str = "text",
+                       id_col: str = "doc_id",
+                       cuts=(1 / 3, 2 / 3),
+                       labels=("head", "middle", "tail"),
+                       num_partitions: int | None = None) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2019 §4.4): score
+    every document under ``model``, then cut each language into buckets
+    of equal cumulative TOKEN mass in perplexity order — head = most
+    reference-like (highest mean log-prob = lowest perplexity).
+
+    The per-language running token sum is computed by the skew-immune
+    range-partitioned prefix sum in :mod:`ops.ranking` (a plain
+    ``PARTITION BY lang`` window would put ~half the corpus in the
+    English reducer). Returns ``(id_col, lang_col,
+    log_prob_per_token, weight, cum_weight, share, bucket)`` — exact
+    integer cumulative weights, so the result is independent of
+    partitioning and engine (the DuckDB oracle re-derives it end to
+    end).
+    """
+    from gojsonschema_spark.ops.ranking import cumulative_share_buckets
+
+    scored = lm_score(df, model, text_col=text_col, id_col=id_col)
+    joined = scored.join(df.select(id_col, lang_col), id_col)
+    return cumulative_share_buckets(
+        joined, "log_prob_per_token", id_col=id_col, group_col=lang_col,
+        weight_col="n_tokens", cuts=cuts, labels=labels,
+        descending=True, num_partitions=num_partitions)

@@ -1,0 +1,176 @@
+"""Distributed exact weighted cumulative-share bucketing.
+
+CCNet (Wenzek et al. 2019) splits each language's corpus into
+head/middle/tail thirds by cumulative token mass in perplexity order.
+The naive Spark expression — ``SUM(w) OVER (PARTITION BY lang ORDER BY
+score)`` — funnels every language into ONE reducer partition: English
+is ~half of a web corpus, so the window partition IS the skew, and the
+job keels over exactly where it matters. This module computes the same
+exact per-row cumulative share with a range-partitioned two-pass
+prefix sum instead:
+
+1. ``repartitionByRange(group, order, id)`` + ``sortWithinPartitions``
+   lays the rows out in global (group, order, id) order across N
+   partitions — one group spans MANY partitions, so no partition is
+   bigger than rows/N regardless of group skew. The partition id is
+   stamped as a column and the layout persisted (both passes must see
+   the identical layout).
+2. Pass 1 aggregates one ``(pid, group, weight-sum)`` row per group
+   PER PARTITION. Because range partitions are contiguous in the sort
+   order, a partition contains only consecutive groups: the collect is
+   bounded by ``n_partitions + |groups|`` rows, not their product.
+   The driver turns these into per-(pid, group) starting offsets — the
+   classic distributed prefix-sum trick.
+3. Pass 2 is a zero-shuffle ``mapInPandas`` over the SAME persisted
+   layout: a batch-local integer cumsum per group plus the stamped
+   partition's offset gives each row its exact global cumulative
+   weight; share = cum/total and the bucket label follow map-side.
+
+Weights must be integers (token counts, byte sizes, 1-per-doc): the
+prefix sum is then exact and associative, so the result is independent
+of partitioning AND bit-identical to any other engine's sequential
+window sum — float weights would make cross-partition addition order
+observable. Share values are IEEE double divisions of identical
+integers, which DuckDB reproduces bit-for-bit (the oracle relies on
+this).
+
+The reference engine (gojsonschema) has no ranking surface; this is
+one of the dataset-level operators the graft adds beyond validation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+__all__ = ["cumulative_share_buckets"]
+
+_NULL_GROUP = "\x00<null>"
+
+
+def cumulative_share_buckets(
+        df: DataFrame, order_col: str, *, id_col: str,
+        group_col: str | None = None, weight_col: str | None = None,
+        cuts: Sequence[float] = (1 / 3, 2 / 3),
+        labels: Sequence[str] = ("head", "middle", "tail"),
+        descending: bool = True, num_partitions: int | None = None,
+        max_groups: int = 100_000) -> DataFrame:
+    """Exact cumulative-share bucket per row, skew-immune.
+
+    Rows are ordered by ``(order_col, id_col)`` (``descending`` applies
+    to ``order_col`` only; ``id_col`` must be unique — it makes the
+    order total, hence the result deterministic). Within each group
+    (the whole frame if ``group_col`` is None), every row gets:
+
+    * ``weight``     — its integer weight (1 if ``weight_col`` is None)
+    * ``cum_weight`` — exact inclusive running sum of weights in order
+    * ``share``      — ``cum_weight / total group weight`` (0.0 for an
+      all-zero-weight group)
+    * ``bucket``     — ``labels[i]`` for the first ``cuts[i] >= share``,
+      else the last label (i.e. boundary rows with share == cut fall in
+      the earlier bucket, matching SQL ``CASE WHEN share <= cut``)
+
+    ``len(labels) == len(cuts) + 1``; cuts must be strictly increasing.
+    Negative weights raise (in the executors — no validation scan).
+    ``max_groups`` bounds the driver-held offset/total tables; grouping
+    by a high-cardinality column is a misuse of this op (use a plain
+    window — per-group data is tiny by construction there).
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need len(labels) == len(cuts) + 1")
+    cuts = [float(c) for c in cuts]
+    if any(b <= a for a, b in zip(cuts, cuts[1:])):
+        raise ValueError("cuts must be strictly increasing")
+    labels = [str(x) for x in labels]
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+
+    cols = [F.col(id_col), F.col(order_col)]
+    if group_col:
+        cols.append(F.col(group_col))
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    grp = (F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL_GROUP))
+           if group_col else F.lit(""))
+    base = df.select(*cols, w.alias("__w"), grp.alias("__grp"))
+
+    order = (F.col(order_col).desc() if descending
+             else F.col(order_col).asc())
+    # the layout is materialized ONCE (localCheckpoint, the repo's rule
+    # for multi-pass reads): both passes must see the identical
+    # partition/sort layout, and the stamped __pid must not be exposed
+    # to a recompute race
+    ranged = (base
+              .repartitionByRange(n_parts, F.col("__grp"), order,
+                                  F.col(id_col))
+              .sortWithinPartitions(F.col("__grp"), order, F.col(id_col))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    # pass 1: per-(partition, group) weight sums. Contiguous range
+    # partitions => bounded by n_parts + |groups| rows.
+    stats = (ranged.groupBy("__pid", "__grp")
+             .agg(F.sum("__w").alias("s"),
+                  F.min("__w").alias("w_min"))
+             .collect())
+    if min((r["w_min"] for r in stats), default=0) < 0:
+        raise ValueError("weights must be non-negative")
+    offsets: dict[tuple[int, str], int] = {}
+    totals: dict[str, int] = {}
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        pid, g = r["__pid"], r["__grp"]
+        offsets[(pid, g)] = totals.get(g, 0)
+        totals[g] = totals.get(g, 0) + int(r["s"])
+    if len(totals) > max_groups:
+        raise ValueError(
+            f"{len(totals)} groups exceeds max_groups={max_groups}; "
+            "cumulative_share_buckets is for low-cardinality groups "
+            "(languages, sources) — use a plain window otherwise")
+
+    out_fields = [ranged.schema[id_col]]
+    if group_col:
+        out_fields.append(ranged.schema[group_col])
+    out_fields += [
+        ranged.schema[order_col],
+        StructField("weight", LongType()),
+        StructField("cum_weight", LongType()),
+        StructField("share", DoubleType()),
+        StructField("bucket", StringType()),
+    ]
+    schema = StructType(out_fields)
+    keep = [f.name for f in out_fields[:len(out_fields) - 4]]
+    cuts_l, labels_l = list(cuts), list(labels)
+
+    def add_share(batches: Iterator) -> Iterator:
+        import numpy as np
+        running: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            wv = pdf["__w"].to_numpy(dtype="int64")
+            cum_within = (pdf.groupby("__grp", sort=False)["__w"]
+                          .cumsum().to_numpy(dtype="int64"))
+            bases = {}
+            gsum = pdf.groupby("__grp", sort=False)["__w"].sum()
+            for g, s in gsum.items():
+                bases[g] = running.get(g, offsets.get((pid, g), 0))
+                running[g] = bases[g] + int(s)
+            base_v = pdf["__grp"].map(bases).to_numpy(dtype="int64")
+            cum = cum_within + base_v
+            tot = pdf["__grp"].map(totals).to_numpy(dtype="int64")
+            share = np.where(tot > 0, cum / np.maximum(tot, 1), 0.0)
+            idx = np.searchsorted(np.asarray(cuts_l), share,
+                                  side="left")
+            out = pdf[keep].copy()
+            out["weight"] = wv
+            out["cum_weight"] = cum
+            out["share"] = share
+            out["bucket"] = np.asarray(labels_l, dtype=object)[idx]
+            yield out
+
+    return ranged.mapInPandas(add_share, schema)
