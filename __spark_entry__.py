@@ -1550,6 +1550,76 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "share", "bucket")
 
 
+# fixed BPE merge list for the oracled encode row: learned once via
+# bpe_train at sf0.01 (deterministic argmax) and frozen so the Spark
+# query and the generated DuckDB oracle share it as a literal.
+# Includes multi-char merges ('m','er'),('p','ar'),('jo','in') so the
+# oracle exercises symbol (not char) boundaries.
+_BPE12 = (("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+          ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+          ("j", "o"), ("jo", "in"))
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer application (ops/text.py::bpe_encode): the Arrow
+    production encoder (merge ranks in the closure, per-worker word
+    memo, zero shuffle) applying the frozen _BPE12 merge list. The
+    DuckDB oracle re-derives the SAME greedy left-to-right fold per
+    merge over a unit-separator string accumulator (list_reduce has no
+    list accumulator in DuckDB 1.0), per DISTINCT word, then
+    reassembles documents in word order. Tokens are space-joined (the
+    driver hasher cannot sort array columns)."""
+    from gojsonschema_spark.ops.text import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    out = bpe_encode(d, _BPE12)
+    return out.select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe"))
+
+
+def _bpe12_oracle() -> str:
+    """Generate the DuckDB twin of the _BPE12 greedy merge chain."""
+    expr = "string_split(w, '')"
+    for a, b in _BPE12:
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        qm = (a + b).replace("'", "''")
+        expr = (
+            "string_split(list_reduce({src}, (acc, s) -> "
+            "CASE WHEN (acc = '{a}' OR ends_with(acc, chr(31) || '{a}'))"
+            " AND s = '{b}' "
+            "THEN left(acc, len(acc) - {la}) || '{m}' "
+            "ELSE acc || chr(31) || s END), chr(31))"
+        ).format(src=expr, a=qa, b=qb, la=len(a), m=qm)
+    return """
+        WITH w0 AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ), occ AS (
+            SELECT doc_id, i, words[i] AS w
+            FROM w0, UNNEST(generate_series(1, len(words))) AS t(i)
+        ), uw AS (
+            SELECT DISTINCT w FROM occ
+        ), enc AS (
+            SELECT w, {expr} AS toks FROM uw
+        ), agg AS (
+            SELECT o.doc_id,
+                   string_agg(array_to_string(e.toks, ' '), ' '
+                              ORDER BY o.i) AS bpe_text,
+                   SUM(len(e.toks)) AS n
+            FROM occ o JOIN enc e USING (w)
+            GROUP BY o.doc_id
+        )
+        SELECT d.doc_id, COALESCE(a.bpe_text, '') AS bpe_text,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """.replace("{expr}", expr)
+
+
 def _multischema_staged(spark: SparkSession, sf_dir: str):
     """Shared corpus + validator for the multischema rows: three kinds
     assigned by doc_id residue, each with its own contract."""
@@ -1718,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "quality_clf": q_quality_clf,
         "ppl_buckets": q_ppl_buckets,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -2921,5 +2992,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM cum
         """,
+        "bpe_encode": _bpe12_oracle(),
     })
     return out

@@ -222,6 +222,15 @@ def bench_queries(spark) -> dict[str, float]:
         .agg(F.sum("dup_token_mass"), F.sum("n_dup_grams")).collect(),
         reps=2)
 
+    # BPE encode: Arrow merge-loop with per-worker word memo (Zipf),
+    # merge ranks in the closure, zero shuffle
+    from gojsonschema_spark.ops.text import bpe_encode
+    bpe_merges = (("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+                  ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+                  ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"))
+    run("bpe_encode", lambda: bpe_encode(pages, bpe_merges)
+        .agg(F.sum(F.size("bpe_tokens"))).collect(), reps=2)
+
     # hashed-feature linear classifier: 2 full-batch GD iterations
     # (sparse per-batch gradients, <= dim-row driver collect per iter)
     # + native-join scoring of the trained weights over the corpus

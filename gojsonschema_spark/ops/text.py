@@ -15,7 +15,8 @@ __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "pack_sequences", "redact_pii", "gopher_quality_filter",
            "c4_quality_filter", "token_vocab", "fix_mojibake",
            "mojibake_repairs", "mojibake_sql_expr", "bpe_pair_counts",
-           "bpe_train", "normalize_unicode"]
+           "bpe_train", "bpe_encode", "bpe_encode_expr",
+           "normalize_unicode"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -723,3 +724,93 @@ def normalize_unicode(df: DataFrame, text_col: str = "text",
 
     udf = pandas_udf(_norm, "string").asNondeterministic()
     return df.withColumn(out_col or text_col, udf(F.col(text_col)))
+
+
+def _bpe_words(text_col: str, lowercase: bool) -> Column:
+    """JVM-side tokenization shared by BOTH encode paths: lower + split
+    happen in the engine, so the Arrow path and the native twin see
+    byte-identical word arrays by construction (Python's ``\\s``/
+    ``str.lower`` have Unicode edge cases Java's do not)."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return F.array_remove(F.split(text, r"\s+"), "")
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               out_col: str = "bpe_tokens", lowercase: bool = True,
+               cache_size: int = 1 << 20) -> DataFrame:
+    """Apply a trained BPE merge list to every document — the
+    production path between :func:`bpe_train` and sequence packing.
+
+    Scale shape (10^12 documents): the merge list is bounded by
+    construction (a tokenizer is 10^4-10^5 merges, a few MB), so it
+    ships in the UDF closure and encoding is a zero-shuffle Arrow map
+    pass. BPE segmentation depends only on the word, never on context,
+    and word frequencies are Zipfian — a per-worker memo dict
+    (``cache_size`` entries, cleared when full) makes the amortized
+    cost per occurrence ~one dict hit. Tokenization (lower + split)
+    stays JVM-side; Python only runs the merge loop.
+
+    Each merge is one greedy left-to-right non-overlapping pass in
+    list order — exactly :func:`_apply_merge`'s fold semantics (the
+    'aaa' overlap pin holds on both paths); a pass is skipped when
+    either symbol is absent from the word's current symbol set, so a
+    32k-merge list costs ~|applicable| passes per uncached word.
+
+    Adds ``out_col`` (array<string>). Equivalence with the native
+    :func:`bpe_encode_expr` twin is pinned in tests.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merges = [(str(a), str(b)) for a, b in merges]
+
+    @pandas_udf("array<string>")
+    def _enc(words_s):
+        import pandas as pd
+        cache: dict = {}
+
+        def encode_word(word):
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            present = set(syms)
+            for a, b in merges:
+                if a not in present or b not in present:
+                    continue
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+                present = set(syms)
+            if len(cache) >= cache_size:
+                cache.clear()
+            cache[word] = syms
+            return syms
+
+        return pd.Series([
+            [] if words is None else
+            [t for w in words for t in encode_word(w)]
+            for words in words_s])
+
+    enc = _enc.asNondeterministic()  # optimizer-clone trap
+    return df.withColumn(out_col, enc(_bpe_words(text_col, lowercase)))
+
+
+def bpe_encode_expr(text_col: str, merges,
+                    lowercase: bool = True) -> Column:
+    """Native catalyst twin of :func:`bpe_encode`: one interpreted
+    fold pass per merge per word (HOF lambdas are CodegenFallback).
+    O(|merges|) passes per word makes this the TEST/ORACLE path, not
+    the 100 TB path — it exists so the Arrow encoder has an in-engine
+    equivalence witness and the DuckDB oracle a mirrorable shape."""
+    def enc_word(w: Column) -> Column:
+        syms = F.split(w, "")
+        for a, b in merges:
+            syms = _apply_merge(syms, a, b)
+        return syms
+
+    return F.flatten(F.transform(_bpe_words(text_col, lowercase),
+                                 enc_word))

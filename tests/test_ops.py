@@ -1911,6 +1911,51 @@ def test_bpe_train_matches_reference(spark):
     assert ("a", "a") in merges
 
 
+def test_bpe_encode_matches_native_and_reference(spark):
+    """The Arrow encoder (production path), the catalyst fold twin, and
+    the pure-Python greedy reference must all agree — including the
+    'aaa' overlap pin, multi-char merges, empty text, and a cold cache."""
+    from gojsonschema_spark.ops.text import (bpe_encode, bpe_encode_expr,
+                                             bpe_train)
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaa": 4}
+    train = spark.createDataFrame(
+        [(" ".join([w] * f),) for w, f in words.items()], ["text"])
+    merges = bpe_train(train, 8, checkpoint_every=3)
+    assert any(len(a) > 1 or len(b) > 1 for a, b in merges)
+
+    docs = [(0, "low lower newest"), (1, "aaa aaaa widest"),
+            (2, ""), (3, "LOWER Newest"), (4, "zzz low")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref_encode(text):
+        toks = []
+        for w in text.lower().split():
+            s = list(w)
+            for a, b in merges:
+                out = []
+                for c in s:
+                    if out and out[-1] == a and c == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(c)
+                s = out
+            toks += s
+        return toks
+
+    arrow = {r.doc_id: r.bpe_tokens for r in
+             bpe_encode(df, merges).collect()}
+    native = {r.doc_id: r.t for r in df.select(
+        "doc_id", bpe_encode_expr("text", merges).alias("t")).collect()}
+    for i, text in docs:
+        assert arrow[i] == ref_encode(text), (i, arrow[i])
+        assert native[i] == ref_encode(text), (i, native[i])
+    # a tiny cache (forces clears) changes nothing
+    tiny = {r.doc_id: r.bpe_tokens for r in
+            bpe_encode(df, merges, cache_size=2).collect()}
+    assert tiny == arrow
+
+
 def test_bloom_filter_membership(spark):
     from gojsonschema_spark.ops.bloom import (
         bloom_build, bloom_probe, bloom_sizing)
