@@ -1550,6 +1550,32 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "share", "bucket")
 
 
+def q_lang_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass (softmax) classifier scoring through the production
+    native-join path (ops/classifier.py::score_multiclass_native):
+    md5-bucketed features, a deterministic integer weight grid
+    w(fid, c) = (fid*(3+2c)) % 101 - 50 over dim=4096 x 3 classes,
+    per-class conditional-sum margins, argmax label with the
+    first-lowest-index tie-break (empty docs -> all-zero margins ->
+    first class). All-integer algebra; margins cast to long."""
+    from gojsonschema_spark.ops.classifier import score_multiclass_native
+
+    dim, cls = 4096, ["de", "en", "fr"]
+    d = _t(spark, sf_dir, "documents")
+    weights = (spark.range(dim).select(F.col("id").alias("fid"))
+               .crossJoin(spark.range(len(cls))
+                          .select(F.col("id").cast("int").alias("c")))
+               .select("fid", "c",
+                       ((F.col("fid") * (3 + 2 * F.col("c"))) % 101 - 50)
+                       .cast("double").alias("w")))
+    out = score_multiclass_native(d, weights, dim, "doc_id", cls)
+    return out.select(
+        "doc_id",
+        *[F.col(f"margin_{i}").cast("long").alias(f"margin_{i}")
+          for i in range(len(cls))],
+        "label")
+
+
 # fixed BPE merge list for the oracled encode row: learned once via
 # bpe_train at sf0.01 (deterministic argmax) and frozen so the Spark
 # query and the generated DuckDB oracle share it as a literal.
@@ -1789,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_clf": q_quality_clf,
         "ppl_buckets": q_ppl_buckets,
         "bpe_encode": q_bpe_encode,
+        "lang_clf": q_lang_clf,
     }
 
 
@@ -2993,5 +3020,41 @@ def oracle_sql() -> dict[str, str]:
             FROM cum
         """,
         "bpe_encode": _bpe12_oracle(),
+        "lang_clf": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS t
+                FROM documents
+            ), occ AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096 AS fid
+                FROM tok WHERE t <> ''
+            ), w AS (
+                SELECT f.range AS fid, c.range AS c,
+                       ((f.range * (3 + 2 * c.range)) % 101) - 50 AS w
+                FROM range(4096) f, range(3) c
+            ), s AS (
+                SELECT o.doc_id, w.c, SUM(w.w) AS s
+                FROM occ o JOIN w ON w.fid = o.fid
+                GROUP BY o.doc_id, w.c
+            ), p AS (
+                SELECT doc_id,
+                       COALESCE(MAX(CASE WHEN c = 0 THEN s END), 0) AS m0,
+                       COALESCE(MAX(CASE WHEN c = 1 THEN s END), 0) AS m1,
+                       COALESCE(MAX(CASE WHEN c = 2 THEN s END), 0) AS m2
+                FROM s GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.m0, 0) AS BIGINT) AS margin_0,
+                   CAST(COALESCE(p.m1, 0) AS BIGINT) AS margin_1,
+                   CAST(COALESCE(p.m2, 0) AS BIGINT) AS margin_2,
+                   CASE WHEN COALESCE(p.m0, 0) >= COALESCE(p.m1, 0)
+                             AND COALESCE(p.m0, 0) >= COALESCE(p.m2, 0)
+                            THEN 'de'
+                        WHEN COALESCE(p.m1, 0) >= COALESCE(p.m2, 0)
+                            THEN 'en'
+                        ELSE 'fr' END AS label
+            FROM documents d LEFT JOIN p USING (doc_id)
+        """,
     })
     return out

@@ -50,6 +50,10 @@ __all__ = [
     "weights_table",
     "score_quality_native",
     "score_quality",
+    "train_multiclass_classifier",
+    "multiclass_weights_table",
+    "score_multiclass_native",
+    "multiclass_scorer",
 ]
 
 MAX_DIM = 1 << 22  # driver weight vector <= 32 MB
@@ -254,3 +258,228 @@ def score_quality(df: DataFrame, model: dict, key_col: str,
                           text_col, dim, lowercase)).alias("margin"))
             .withColumn("prob", F.lit(1.0) /
                         (F.lit(1.0) + F.exp(-F.col("margin")))))
+
+
+def _class_index(classes: list, label_col: str) -> Column:
+    """Label -> class index as a when-chain (C is small by contract)."""
+    expr = None
+    for i, c in enumerate(classes):
+        cond = F.col(label_col) == F.lit(c)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    return expr.otherwise(F.lit(-1))
+
+
+def train_multiclass_classifier(
+        df: DataFrame, label_col: str, classes: list | None = None,
+        text_col: str = "text", dim: int = 1 << 16, n_iters: int = 20,
+        lr: float = 1.0, l2: float = 0.0, lowercase: bool = True,
+        cache: bool = True) -> dict:
+    """Multinomial (softmax) logistic regression over hashed
+    bag-of-words — the trainable language-ID / domain-ID stage.
+
+    Same scale shape as :func:`train_quality_classifier`: featurization
+    map-side, per-iteration shuffle carries SPARSE (fid*C + c, partial)
+    gradient pairs plus bias/loss/count pseudo-rows, the driver holds
+    the (dim, C) weight matrix (guarded: dim*C <= 2^22, ~32 MB) and
+    ships it back in the next closure. ``classes`` is the label
+    vocabulary in index order (inferred sorted-distinct when None,
+    guarded <= 64); unknown labels raise.
+
+    Returns ``{"W": C lists of dim floats, "bias": list[C],
+    "classes": [...], "losses": [...], "dim": dim}``.
+    """
+    import numpy as np
+
+    _check_dim(dim)
+    if classes is None:
+        classes = sorted(
+            r[0] for r in df.select(label_col).distinct().limit(65)
+            .collect())
+    classes = list(classes)
+    C = len(classes)
+    if not 2 <= C <= 64:
+        raise ValueError(f"need 2..64 classes, got {C}")
+    if dim * C > MAX_DIM:
+        raise ValueError(f"dim*C must be <= {MAX_DIM}, got {dim * C}")
+
+    feat = df.select(
+        hashed_feature_ids(text_col, dim, lowercase).alias("fids"),
+        _class_index(classes, label_col).alias("y"))
+    if cache:
+        feat = feat.persist()
+    try:
+        bad = feat.filter(F.col("y") < 0).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"{label_col!r} contains labels outside classes={classes}")
+
+        W = np.zeros((dim, C), dtype=np.float64)
+        bias = np.zeros(C, dtype=np.float64)
+        losses: list[float] = []
+        # pseudo-fids: bias_c = -(c+1); loss = -(C+1); count = -(C+2)
+        LOSS_ID, COUNT_ID = -(C + 1), -(C + 2)
+        for _ in range(n_iters):
+            W_it, b_it = W, bias
+
+            def partials(batches: Iterator) -> Iterator:
+                import numpy as np
+                import pandas as pd
+                acc: dict = {}
+                loss = 0.0
+                n = 0
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    lists = [np.asarray(v, dtype=np.int64)
+                             for v in pdf["fids"]]
+                    lens = np.fromiter((len(v) for v in lists),
+                                       dtype=np.int64, count=len(lists))
+                    flat = (np.concatenate(lists) if lens.sum()
+                            else np.empty(0, dtype=np.int64))
+                    docix = np.repeat(np.arange(len(lists)), lens)
+                    m = np.zeros((len(lists), C), dtype=np.float64)
+                    if flat.size:
+                        np.add.at(m, docix, W_it[flat])
+                    m += b_it
+                    m -= m.max(axis=1, keepdims=True)  # stable softmax
+                    e = np.exp(m)
+                    p = e / e.sum(axis=1, keepdims=True)
+                    y = pdf["y"].to_numpy(dtype=np.int64)
+                    rows = np.arange(len(lists))
+                    loss -= np.log(np.maximum(p[rows, y], 1e-300)).sum()
+                    r = p
+                    r[rows, y] -= 1.0
+                    if flat.size:
+                        uf, inv = np.unique(flat, return_inverse=True)
+                        gp = np.zeros((len(uf), C), dtype=np.float64)
+                        np.add.at(gp, inv, r[docix])
+                        ids = (uf[:, None] * C +
+                               np.arange(C)[None, :]).ravel()
+                        for fid, gv in zip(ids.tolist(),
+                                           gp.ravel().tolist()):
+                            if gv != 0.0:
+                                acc[fid] = acc.get(fid, 0.0) + gv
+                    gb = r.sum(axis=0)
+                    for c in range(C):
+                        acc[-(c + 1)] = acc.get(-(c + 1), 0.0) + gb[c]
+                    n += len(lists)
+                acc[LOSS_ID] = acc.get(LOSS_ID, 0.0) + loss
+                acc[COUNT_ID] = acc.get(COUNT_ID, 0.0) + float(n)
+                yield pd.DataFrame(
+                    {"fid": np.fromiter(acc.keys(), dtype=np.int64,
+                                        count=len(acc)),
+                     "g": np.fromiter(acc.values(), dtype=np.float64,
+                                      count=len(acc))})
+
+            rows = (feat.mapInPandas(partials, _GRAD_SCHEMA)
+                    .groupBy("fid").agg(F.sum("g").alias("g"))
+                    .collect())
+            sums = {r.fid: r.g for r in rows}
+            n = sums.pop(COUNT_ID, 0.0)
+            if n == 0:
+                raise ValueError("empty training corpus")
+            losses.append(sums.pop(LOSS_ID, 0.0) / n)
+            gb = np.array([sums.pop(-(c + 1), 0.0) for c in range(C)])
+            G = np.zeros((dim, C), dtype=np.float64)
+            if sums:
+                ids = np.fromiter(sums.keys(), dtype=np.int64,
+                                  count=len(sums))
+                G[ids // C, ids % C] = np.fromiter(
+                    sums.values(), dtype=np.float64, count=len(sums))
+            G /= n
+            if l2:
+                G += l2 * W
+            W = W - lr * G
+            bias = bias - lr * gb / n
+        return {"W": [W[:, c].tolist() for c in range(C)],
+                "bias": bias.tolist(), "classes": classes,
+                "losses": losses, "dim": dim}
+    finally:
+        if cache:
+            feat.unpersist()
+
+
+def multiclass_weights_table(spark, model: dict,
+                             drop_zero: bool = True) -> DataFrame:
+    """(fid, c, w) DataFrame for the native multiclass scoring join."""
+    rows = []
+    for c, wc in enumerate(model["W"]):
+        rows += [(i, c, wi) for i, wi in enumerate(wc)
+                 if not (drop_zero and wi == 0.0)]
+    return spark.createDataFrame(rows, "fid long, c int, w double")
+
+
+def score_multiclass_native(df: DataFrame, weights: DataFrame,
+                            dim: int, key_col: str, classes: list,
+                            text_col: str = "text",
+                            bias: list | None = None,
+                            lowercase: bool = True) -> DataFrame:
+    """Pure-JVM multiclass scoring: one explode over token
+    occurrences, broadcast-join the (<= dim*C rows, bounded) weights,
+    one conditional-sum aggregate per class, argmax with a
+    deterministic lowest-index tie-break. Emits per-class ``margin_i``
+    columns plus ``label``. Ties and margins are engine-exact when the
+    weights are integers (the oracle's construction)."""
+    _check_dim(dim)
+    C = len(classes)
+    bias = list(bias) if bias is not None else [0.0] * C
+    base = df.select(F.col(key_col).alias("key"),
+                     hashed_feature_ids(text_col, dim, lowercase)
+                     .alias("fids"))
+    occ = base.select("key", F.explode_outer("fids").alias("fid"))
+    joined = occ.join(F.broadcast(weights), "fid", "left")
+    aggs = [
+        (F.lit(bias[i]) + F.coalesce(
+            F.sum(F.when(F.col("c") == i, F.col("w"))), F.lit(0.0)))
+        .alias(f"margin_{i}")
+        for i in range(C)]
+    scored = joined.groupBy("key").agg(*aggs)
+    best = F.greatest(*[F.col(f"margin_{i}") for i in range(C)]) \
+        if C > 1 else F.col("margin_0")
+    label = None
+    for i in range(C):
+        cond = F.col(f"margin_{i}") == best
+        label = (F.when(cond, F.lit(classes[i])) if label is None
+                 else label.when(cond, F.lit(classes[i])))
+    return (scored.withColumn("label", label)
+            .withColumnRenamed("key", key_col))
+
+
+def multiclass_scorer(model: dict):
+    """Bridge a trained multiclass model into
+    :func:`~gojsonschema_spark.ops.text.language_id`'s ``scorer=``
+    injection point: returns a ``pandas.Series[str] ->
+    pandas.Series[str]`` callable (runs inside an Arrow UDF).
+
+    Featurization reproduces :func:`hashed_feature_ids` in Python
+    (``int(md5(token)[:8], 16) % dim`` over lowered,
+    ASCII-whitespace-split tokens) — identical for ASCII text; exotic
+    Unicode case/space edge cases may differ from the JVM path, which
+    is why the native join is the oracled one."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    W = np.array(model["W"], dtype=np.float64).T  # (dim, C)
+    bias = np.asarray(model["bias"], dtype=np.float64)
+    classes = np.asarray(model["classes"], dtype=object)
+    dim = model["dim"]
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def score(texts):
+        import pandas as pd
+        out = []
+        for t in texts:
+            m = bias.copy()
+            if t:
+                for tok in ws.split(t.lower()):
+                    if tok:
+                        fid = int(hashlib.md5(
+                            tok.encode("utf-8")).hexdigest()[:8],
+                            16) % dim
+                        m += W[fid]
+            out.append(classes[int(np.argmax(m))])
+        return pd.Series(out)
+
+    return score
