@@ -1550,6 +1550,24 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "share", "bucket")
 
 
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language n_chars percentiles (ops/ranking.py::
+    exact_weighted_percentiles) — the exact twin of the column
+    profiler's approx_percentile, computed on the skew-immune
+    range-partitioned prefix sum (never a per-language single-reducer
+    window). Type-1 (lower) quantiles: the smallest value whose
+    inclusive cumulative doc share reaches q; crossing test compares
+    IEEE divisions of identical integers, engine-exact."""
+    from gojsonschema_spark.ops.ranking import exact_weighted_percentiles
+
+    d = _t(spark, sf_dir, "documents")
+    out = exact_weighted_percentiles(
+        d, "n_chars", qs=(0.25, 0.5, 0.9, 1.0), id_col="doc_id",
+        group_col="lang")
+    return out.select("lang", "q", F.col("value").cast("long").alias("value"),
+                      "cum_weight", "total_weight")
+
+
 def q_lang_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiclass (softmax) classifier scoring through the production
     native-join path (ops/classifier.py::score_multiclass_native):
@@ -1816,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "bpe_encode": q_bpe_encode,
         "lang_clf": q_lang_clf,
+        "exact_percentiles": q_exact_percentiles,
     }
 
 
@@ -3055,6 +3074,24 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'en'
                         ELSE 'fr' END AS label
             FROM documents d LEFT JOIN p USING (doc_id)
+        """,
+        "exact_percentiles": """
+            WITH c AS (
+                SELECT lang, n_chars, doc_id,
+                       CAST(SUM(1) OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                       CAST(COUNT(*) OVER (PARTITION BY lang)
+                            AS BIGINT) AS tot
+                FROM documents
+            )
+            SELECT lang, q,
+                   CAST(n_chars AS BIGINT) AS value,
+                   cw AS cum_weight, tot AS total_weight
+            FROM c CROSS JOIN (VALUES (0.25), (0.5), (0.9), (1.0))
+                       AS qs(q)
+            WHERE cw * 1.0 / tot >= q AND (cw - 1) * 1.0 / tot < q
         """,
     })
     return out

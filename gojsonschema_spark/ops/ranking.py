@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType,
                                StructField, StructType)
 
-__all__ = ["cumulative_share_buckets"]
+__all__ = ["cumulative_share_buckets", "exact_weighted_percentiles"]
 
 _NULL_GROUP = "\x00<null>"
 
@@ -65,9 +65,10 @@ def cumulative_share_buckets(
     order total, hence the result deterministic). Within each group
     (the whole frame if ``group_col`` is None), every row gets:
 
-    * ``weight``     — its integer weight (1 if ``weight_col`` is None)
-    * ``cum_weight`` — exact inclusive running sum of weights in order
-    * ``share``      — ``cum_weight / total group weight`` (0.0 for an
+    * ``weight``       — its integer weight (1 if ``weight_col`` is None)
+    * ``cum_weight``   — exact inclusive running sum of weights in order
+    * ``total_weight`` — the group's total weight
+    * ``share``        — ``cum_weight / total_weight`` (0.0 for an
       all-zero-weight group)
     * ``bucket``     — ``labels[i]`` for the first ``cuts[i] >= share``,
       else the last label (i.e. boundary rows with share == cut fall in
@@ -138,11 +139,12 @@ def cumulative_share_buckets(
         ranged.schema[order_col],
         StructField("weight", LongType()),
         StructField("cum_weight", LongType()),
+        StructField("total_weight", LongType()),
         StructField("share", DoubleType()),
         StructField("bucket", StringType()),
     ]
     schema = StructType(out_fields)
-    keep = [f.name for f in out_fields[:len(out_fields) - 4]]
+    keep = [f.name for f in out_fields[:len(out_fields) - 5]]
     cuts_l, labels_l = list(cuts), list(labels)
 
     def add_share(batches: Iterator) -> Iterator:
@@ -169,8 +171,61 @@ def cumulative_share_buckets(
             out = pdf[keep].copy()
             out["weight"] = wv
             out["cum_weight"] = cum
+            out["total_weight"] = tot
             out["share"] = share
             out["bucket"] = np.asarray(labels_l, dtype=object)[idx]
             yield out
 
     return ranged.mapInPandas(add_share, schema)
+
+
+def exact_weighted_percentiles(
+        df: DataFrame, value_col: str, qs: Sequence[float], *,
+        id_col: str, group_col: str | None = None,
+        weight_col: str | None = None,
+        num_partitions: int | None = None,
+        max_groups: int = 100_000) -> DataFrame:
+    """EXACT (Type-1 / lower) weighted percentiles per group — the
+    exact twin of the column profiler's ``approx_percentile``.
+
+    For each ``q`` in ``qs`` (each in (0, 1]), returns the smallest
+    value whose inclusive cumulative weight share reaches ``q``: the
+    unique row where ``cum_weight/total >= q`` and
+    ``(cum_weight - weight)/total < q``. With unit weights and
+    q = 0.5 this is the classic lower median; with token weights it
+    answers "the length below which half the corpus' TOKENS live".
+
+    Built on the skew-immune prefix sum of
+    :func:`cumulative_share_buckets` (a plain ``PARTITION BY group``
+    window would single-reduce the biggest group), so it is exact at
+    any scale and engine-mirrorable: the crossing test compares IEEE
+    divisions of identical integers, which any SQL engine reproduces
+    bit-for-bit. The q-fanout is a map-side explode of a literal
+    array — no extra shuffle. Output: ``(group_col?, q, value,
+    cum_weight, total_weight)``, one row per (group, q); all-zero-
+    weight groups have no crossing row and are absent.
+
+    Zero-weight rows never cross (their share interval is empty), so
+    a value carried only by zero-weight rows can never be returned.
+    """
+    qs = [float(q) for q in qs]
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    if len(set(qs)) != len(qs):
+        raise ValueError("duplicate q values")
+
+    b = cumulative_share_buckets(
+        df, value_col, id_col=id_col, group_col=group_col,
+        weight_col=weight_col, descending=False,
+        num_partitions=num_partitions, max_groups=max_groups)
+    q = F.explode(F.array(*[F.lit(x) for x in sorted(qs)])).alias("q")
+    cols = ([F.col(group_col)] if group_col else []) + [
+        q, F.col(value_col).alias("value"),
+        F.col("cum_weight"), F.col("total_weight"), F.col("weight")]
+    tot = F.col("total_weight").cast("double")
+    return (b.select(*cols)
+            .filter((F.col("cum_weight").cast("double") / tot
+                     >= F.col("q"))
+                    & ((F.col("cum_weight") - F.col("weight"))
+                       .cast("double") / tot < F.col("q")))
+            .drop("weight"))

@@ -135,3 +135,68 @@ def test_perplexity_buckets_orders_by_quality(spark):
         total = sum(mass.values())
         for b in mass:  # each bucket within a factor ~2 of a third
             assert mass[b] > total / 6, (lang, mass)
+
+
+def test_exact_percentiles_unit_weights(spark):
+    """q=0.5 with unit weights is the lower median; q=1 the max;
+    boundary q exactly at a crossing share picks the crossing row."""
+    from gojsonschema_spark.ops.ranking import exact_weighted_percentiles
+
+    rows = [(i, "a", float(v), 1) for i, v in
+            enumerate([10, 20, 30, 40])]  # shares .25 .5 .75 1.0
+    df = _df(spark, rows)
+    got = {(r.lang, r.q): r.value for r in exact_weighted_percentiles(
+        df, "score", qs=(0.25, 0.5, 0.51, 1.0), id_col="doc_id",
+        group_col="lang").collect()}
+    assert got == {("a", 0.25): 10.0, ("a", 0.5): 20.0,
+                   ("a", 0.51): 30.0, ("a", 1.0): 40.0}
+
+
+def test_exact_percentiles_weighted_matches_reference(spark):
+    """Type-1 weighted quantiles vs a pure-Python reference on random
+    data with ties and zero weights, per group."""
+    from gojsonschema_spark.ops.ranking import exact_weighted_percentiles
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice(["en", "de"]), float(rng.randint(0, 20)),
+             rng.randint(0, 5)) for i in range(300)]
+    qs = (0.1, 0.5, 0.9, 1.0)
+
+    def ref(lang):
+        sub = sorted([r for r in rows if r[1] == lang],
+                     key=lambda r: (r[2], r[0]))
+        tot = sum(r[3] for r in sub)
+        out = {}
+        for q in qs:
+            cum = 0
+            for r in sub:
+                prev = cum
+                cum += r[3]
+                if cum / tot >= q and prev / tot < q:
+                    out[q] = r[2]
+                    break
+        return out
+
+    got = {}
+    for r in exact_weighted_percentiles(
+            _df(spark, rows), "score", qs=qs, id_col="doc_id",
+            group_col="lang", weight_col="w").collect():
+        got.setdefault(r.lang, {})[r.q] = r.value
+    assert got == {"en": ref("en"), "de": ref("de")}
+    # exactly one row per (group, q)
+    n = exact_weighted_percentiles(
+        _df(spark, rows), "score", qs=qs, id_col="doc_id",
+        group_col="lang", weight_col="w").count()
+    assert n == 2 * len(qs)
+
+
+def test_exact_percentiles_guards(spark):
+    from gojsonschema_spark.ops.ranking import exact_weighted_percentiles
+
+    df = _df(spark, [(1, "a", 1.0, 1)])
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        exact_weighted_percentiles(df, "score", qs=(0.0,),
+                                   id_col="doc_id")
+    with pytest.raises(ValueError, match="duplicate"):
+        exact_weighted_percentiles(df, "score", qs=(0.5, 0.5),
+                                   id_col="doc_id")
