@@ -1550,6 +1550,26 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "share", "bucket")
 
 
+def q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-host (here: per-source) quality rollup
+    (ops/web.py::host_quality_rollup): intra-host exact-dup mass, mean
+    tokens, short-doc fraction, keep/drop verdict. Two map-side-
+    combinable aggregations — the big shuffle carries one row per
+    (host, fingerprint). Ratios divide identical integers in both
+    engines; verdicts compare those exact doubles to literals."""
+    from gojsonschema_spark.ops.web import host_quality_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    out = host_quality_rollup(d, host_col="source", min_docs=5,
+                              short_tokens=40, max_dup_frac=0.2,
+                              max_short_frac=0.5, min_mean_tokens=20.0)
+    return out.select(F.col("host").alias("source"),
+                      F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("dup_docs").cast("long").alias("dup_docs"),
+                      "dup_frac", "mean_tokens", "short_frac",
+                      F.col("keep").cast("long").alias("keep"))
+
+
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-language n_chars percentiles (ops/ranking.py::
     exact_weighted_percentiles) — the exact twin of the column
@@ -1835,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "lang_clf": q_lang_clf,
         "exact_percentiles": q_exact_percentiles,
+        "host_rollup": q_host_rollup,
     }
 
 
@@ -3092,6 +3113,39 @@ def oracle_sql() -> dict[str, str]:
             FROM c CROSS JOIN (VALUES (0.25), (0.5), (0.9), (1.0))
                        AS qs(q)
             WHERE cw * 1.0 / tot >= q AND (cw - 1) * 1.0 / tot < q
+        """,
+        "host_rollup": """
+            WITH base AS (
+                SELECT source,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g'))) AS fp,
+                       len(list_filter(regexp_split_to_array(text,
+                                                             '\\s+'),
+                                       x -> x <> '')) AS n_tok
+                FROM documents
+            ), per_fp AS (
+                SELECT source, fp, COUNT(*) AS cnt, SUM(n_tok) AS tok,
+                       SUM(CASE WHEN n_tok < 40 THEN 1 ELSE 0 END)
+                           AS short
+                FROM base GROUP BY source, fp
+            ), roll AS (
+                SELECT source,
+                       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                       CAST(SUM(cnt - 1) AS BIGINT) AS dup_docs,
+                       CAST(SUM(tok) AS BIGINT) AS sum_tok,
+                       CAST(SUM(short) AS BIGINT) AS short_docs
+                FROM per_fp GROUP BY source
+            )
+            SELECT source, n_docs, dup_docs,
+                   dup_docs * 1.0 / n_docs AS dup_frac,
+                   sum_tok * 1.0 / n_docs AS mean_tokens,
+                   short_docs * 1.0 / n_docs AS short_frac,
+                   CAST(CASE WHEN n_docs >= 5
+                             AND dup_docs * 1.0 / n_docs <= 0.2
+                             AND short_docs * 1.0 / n_docs <= 0.5
+                             AND sum_tok * 1.0 / n_docs >= 20.0
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM roll
         """,
     })
     return out

@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 __all__ = ["parse_url", "registered_domain", "sort_query_params",
-           "resolve_link", "DEFAULT_TWO_LEVEL_SUFFIXES"]
+           "resolve_link", "host_quality_rollup",
+           "DEFAULT_TWO_LEVEL_SUFFIXES"]
 
 _SCHEME = r"[A-Za-z][A-Za-z0-9+.-]*"
 
@@ -196,3 +197,67 @@ def _remove_dot_segments(path: Column) -> Column:
                  F.concat(out, F.lit("/"))).otherwise(out)
     # folding eats the leading empty segment's slash; normalize doubles
     return F.regexp_replace(out, "^//+", "/")
+
+
+def host_quality_rollup(df, host_col: str = "host",
+                        text_col: str = "text",
+                        min_docs: int = 1,
+                        short_tokens: int = 40,
+                        max_dup_frac: float = 0.5,
+                        max_short_frac: float = 0.8,
+                        min_mean_tokens: float = 0.0):
+    """Per-host corpus-quality rollup + keep/drop verdicts — the
+    RefinedWeb-style DOMAIN filtering stage (Penedo et al. 2023 run
+    site-level heuristics before any per-document filter: boilerplate
+    farms, link spam, and template sites are cheaper to drop wholesale).
+
+    Per host: ``n_docs``, intra-host exact-duplicate mass (``dup_docs``
+    = occurrences past each fingerprint's first, ``dup_frac``),
+    ``mean_tokens``, ``short_frac`` (docs under ``short_tokens``), and
+    ``keep`` (1 iff n_docs >= min_docs AND dup_frac <= max_dup_frac AND
+    short_frac <= max_short_frac AND mean_tokens >= min_mean_tokens).
+
+    Scale shape: two map-side-combinable aggregations — (host, fp)
+    then host — so the big shuffle carries one row per distinct
+    (host, fingerprint), never documents; no window, no broadcast, no
+    Python. Ratios divide the same integers in any engine (oracle-
+    exact); verdicts compare those exact doubles to literals. Callers
+    with raw URLs pass ``parse_url(url)["host"]`` projected first.
+
+    host_col may be NULL (unparseable url) — nulls group together and
+    get a verdict like any host.
+    """
+    from pyspark.sql import functions as F
+
+    from gojsonschema_spark.ops.text import fingerprint
+
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    n_tok = F.size(toks)
+    base = df.select(
+        F.col(host_col).alias("host"),
+        fingerprint(F.col(text_col)).alias("fp"),
+        n_tok.alias("n_tok"),
+        (n_tok < short_tokens).cast("long").alias("is_short"))
+    per_fp = (base.groupBy("host", "fp")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.sum("n_tok").alias("tok"),
+                   F.sum("is_short").alias("short")))
+    roll = (per_fp.groupBy("host")
+            .agg(F.sum("cnt").alias("n_docs"),
+                 F.sum(F.col("cnt") - 1).alias("dup_docs"),
+                 F.sum("tok").alias("sum_tok"),
+                 F.sum("short").alias("short_docs")))
+    n = F.col("n_docs").cast("double")
+    dup_frac = F.col("dup_docs").cast("double") / n
+    short_frac = F.col("short_docs").cast("double") / n
+    mean_tokens = F.col("sum_tok").cast("double") / n
+    keep = ((F.col("n_docs") >= min_docs)
+            & (dup_frac <= max_dup_frac)
+            & (short_frac <= max_short_frac)
+            & (mean_tokens >= min_mean_tokens))
+    return roll.select(
+        "host", "n_docs", "dup_docs",
+        dup_frac.alias("dup_frac"),
+        mean_tokens.alias("mean_tokens"),
+        short_frac.alias("short_frac"),
+        keep.cast("int").alias("keep"))
