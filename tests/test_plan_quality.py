@@ -146,3 +146,31 @@ def test_no_row_python_in_any_driver_query(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python in: {offenders}"
+
+
+def test_host_rollup_plan_is_pure_jvm_two_stage(spark):
+    """host_quality_rollup: no Python, no broadcast, and exactly the
+    two hash-aggregate shuffles (per-fp, then per-host) — the big one
+    keyed on (host, fp) so it map-side combines."""
+    from gojsonschema_spark.ops.web import host_quality_rollup
+
+    df = spark.createDataFrame(
+        [("h%d.com" % (i % 3), "some text %d" % i) for i in range(20)],
+        "host string, text string")
+    plan = (host_quality_rollup(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange") <= 4  # 2 shuffles (+AQE reads)
+
+
+def test_multiclass_native_scoring_plan(spark):
+    """score_multiclass_native: JVM-only, weights side broadcast."""
+    from gojsonschema_spark.ops.classifier import score_multiclass_native
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    w = spark.createDataFrame([(0, 0, 1.0)], "fid long, c int, w double")
+    plan = (score_multiclass_native(df, w, 64, "doc_id", ["x", "y"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "BroadcastHashJoin" in plan
