@@ -1550,6 +1550,33 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "share", "bucket")
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile (ops/html.py::extract_anchors +
+    ops/graph.py::anchor_text_aggregate): anchors constructed in-query
+    (inner markup + ragged whitespace to exercise the native cleanup,
+    an entity-escaped query separator, a mailto: and an empty-text
+    anchor that must BOTH drop), real extract -> RFC 3986 resolve ->
+    salted bounded top-k; the oracle emits the expected table
+    analytically and ranks with a window."""
+    from gojsonschema_spark.ops.graph import anchor_text_aggregate
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("lang"),
+                 F.lit(".example.com/d/"), i.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<a href="/t/'), (i % 10).cast("string"),
+            F.lit('"><b>read</b> '), F.col("source"), F.lit("   now</a>"),
+            F.lit("<a href='https://hub.example.com/"),
+            (i % 3).cast("string"), F.lit("?a=1&amp;b=2'>hub "),
+            (i % 2).cast("string"), F.lit("</a>"),
+            F.lit('<a href="mailto:x@y">m</a><a href="/e"></a>'))
+        .alias("html"))
+    return anchor_text_aggregate(pages, is_binary=False, top_n=2) \
+        .select("target", "anchor", F.col("n").cast("long").alias("n"))
+
+
 def q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style per-host (here: per-source) quality rollup
     (ops/web.py::host_quality_rollup): intra-host exact-dup mass, mean
@@ -1856,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_clf": q_lang_clf,
         "exact_percentiles": q_exact_percentiles,
         "host_rollup": q_host_rollup,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -3146,6 +3174,29 @@ def oracle_sql() -> dict[str, str]:
                              AND sum_tok * 1.0 / n_docs >= 20.0
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM roll
+        """,
+        "anchor_texts": """
+            WITH pairs AS (
+                SELECT 'https://' || lang || '.example.com/t/'
+                           || (doc_id % 10) AS target,
+                       'read ' || source || ' now' AS anchor
+                FROM documents
+                UNION ALL
+                SELECT 'https://hub.example.com/' || (doc_id % 3)
+                           || '?a=1&b=2' AS target,
+                       'hub ' || (doc_id % 2) AS anchor
+                FROM documents
+            ), c AS (
+                SELECT target, anchor,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM pairs GROUP BY target, anchor
+            ), r AS (
+                SELECT target, anchor, n,
+                       row_number() OVER (PARTITION BY target
+                                          ORDER BY n DESC, anchor) AS rk
+                FROM c
+            )
+            SELECT target, anchor, n FROM r WHERE rk <= 2
         """,
     })
     return out

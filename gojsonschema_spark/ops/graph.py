@@ -35,11 +35,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from gojsonschema_spark.ops.html import extract_links
+from gojsonschema_spark.ops.html import extract_anchors, extract_links
 from gojsonschema_spark.ops.web import resolve_link
 from gojsonschema_spark.ops.webpages import url_host
 
-__all__ = ["host_link_graph", "host_degrees", "pagerank"]
+__all__ = ["host_link_graph", "host_degrees", "pagerank",
+           "anchor_text_aggregate"]
 
 
 def host_link_graph(pages: DataFrame, *, url_col: str = "url",
@@ -195,3 +196,43 @@ def pagerank(edges: DataFrame, *, damping: float = 0.85,
     e.unpersist()
     nodes.unpersist()
     return ranks.select("host", F.col("rank").cast("double").alias("rank"))
+
+
+def anchor_text_aggregate(pages: DataFrame, *, url_col: str = "url",
+                          html_col: str = "html",
+                          is_binary: bool = True, top_n: int = 5,
+                          n_salts: int = 256) -> DataFrame:
+    """Per-target anchor-text profile: the ``top_n`` most frequent
+    anchor texts pointing at each resolved target URL, with counts.
+
+    Anchor text describes the TARGET page (it is how the rest of the
+    web labels it) — search relevance and query-document training sets
+    are built from exactly this table. Pipeline: native anchor
+    extraction (:func:`~gojsonschema_spark.ops.html.extract_anchors`)
+    -> RFC 3986 resolution against the page URL (non-fetchable schemes
+    and empty anchors drop) -> (target, anchor) counting (map-side
+    combine; the shuffle carries distinct pairs) -> salted bounded
+    top-k per target (:func:`~gojsonschema_spark.ops.dataset_checks.
+    topk_per_group` — never a per-target window, so a target every
+    page links to, e.g. a CDN root, cannot serialize a reducer).
+
+    Returns ``(target, anchor, n)``, deterministic (count desc, anchor
+    asc per target).
+    """
+    from gojsonschema_spark.ops.dataset_checks import topk_per_group
+
+    anchors = pages.select(
+        F.col(url_col).alias("base"),
+        F.explode(extract_anchors(F.col(html_col),
+                                  is_binary=is_binary)).alias("a"))
+    resolved = (anchors
+                .select(resolve_link(F.col("base"),
+                                     F.col("a.href")).alias("target"),
+                        F.col("a.text").alias("anchor"))
+                .filter(F.col("target").isNotNull()
+                        & (F.col("anchor") != "")))
+    counts = (resolved.groupBy("target", "anchor")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return topk_per_group(counts, ["target"], "n", k=top_n,
+                          ascending=False, tiebreak_col="anchor",
+                          n_salts=n_salts)

@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import StringType
 
 __all__ = ["extract_text_native", "extract_text", "html_to_text",
-           "extract_links", "NATIVE_ENTITIES"]
+           "extract_links", "extract_anchors", "NATIVE_ENTITIES"]
 
 # Named references the native path decodes, in application order.
 # ``&amp;`` MUST be last so "&amp;lt;" decodes to the literal "&lt;",
@@ -118,6 +118,43 @@ def extract_links(html_col: Column, *, is_binary: bool = True) -> Column:
         quoted,
         lambda u: F.replace(F.substring(u, F.lit(2), F.length(u) - 2),
                             F.lit("&amp;"), F.lit("&")))
+
+
+def extract_anchors(html_col: Column, *, is_binary: bool = True) -> Column:
+    """(href, anchor text) pairs — ``array<struct<href,text>>``. Anchor
+    text is a first-class training signal (it describes the TARGET
+    page; search and query-doc datasets are built from it), so the
+    graph build keeps it alongside the edge.
+
+    All native: one ``regexp_extract_all`` for the ``<a
+    href=...>...</a>`` blocks, then per block a href extract (same
+    quoted-href scope as :func:`extract_links`) and a text cleanup
+    (inner markup -> space, whitespace collapsed, ``&amp;`` decoded).
+    Out of scope, documented: unquoted hrefs, NESTED ``<a>`` (the block
+    regex ends at the first ``</a>``), and full charref decode (use
+    :func:`extract_text` for that — anchors overwhelmingly carry plain
+    words).
+    """
+    s = _html_string(html_col) if is_binary else html_col
+    blocks = F.regexp_extract_all(
+        s, F.lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*"
+                 "(\"[^\"]*\"|'[^']*')[^>]*>.*?</a>"), 0)
+
+    def to_struct(b: Column) -> Column:
+        href_q = F.regexp_extract(
+            b, "(?is)^<a\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*')", 1)
+        href = F.replace(
+            F.substring(href_q, F.lit(2), F.length(href_q) - 2),
+            F.lit("&amp;"), F.lit("&"))
+        inner = F.regexp_extract(b, "(?is)^<a[^>]*>(.*)</a>$", 1)
+        text = F.replace(
+            F.trim(F.regexp_replace(
+                F.regexp_replace(inner, "(?s)<[^>]*>", " "),
+                "\\s+", " ")),
+            F.lit("&amp;"), F.lit("&"))
+        return F.struct(href.alias("href"), text.alias("text"))
+
+    return F.transform(blocks, to_struct)
 
 
 class _TextParser(HTMLParser):

@@ -238,3 +238,44 @@ def test_pagerank_over_generated_pages(spark):
     assert len(rows) > 0
     assert sum(r.rank for r in rows) == pytest.approx(1.0, abs=1e-6)
     assert all(r.rank > 0 for r in rows)
+
+
+def test_extract_anchors(spark):
+    """(href, text) pairs: quoted hrefs both styles, inner markup
+    stripped to spaces, whitespace collapsed, &amp; decoded in BOTH
+    fields, no-href anchors skipped, text-free anchors yield ''."""
+    from gojsonschema_spark.ops.html import extract_anchors
+
+    html = ('<p><a class="x" href="/a?x=1&amp;y=2"> <b>Bold</b>\n'
+            'link </a><a name=skip>no href</a>'
+            "<a href='/b'>salt &amp; pepper</a>"
+            '<a href="/c"></a>tail</p>')
+    [row] = spark.createDataFrame([(html,)], ["h"]).select(
+        extract_anchors(F.col("h"), is_binary=False).alias("a")).collect()
+    got = [(a.href, a.text) for a in row.a]
+    assert got == [("/a?x=1&y=2", "Bold link"),
+                   ("/b", "salt & pepper"),
+                   ("/c", "")]
+
+
+def test_anchor_text_aggregate(spark):
+    """Resolution + counting + bounded top-k: relative hrefs resolve
+    against each page, mailto drops, empty anchors drop, counts merge
+    across pages, top_n slices (count desc, anchor asc)."""
+    from gojsonschema_spark.ops.graph import anchor_text_aggregate
+
+    def page(i):
+        return (f"https://s{i % 2}.ex.com/p/{i}",
+                f'<a href="/hub">go hub</a>'
+                f'<a href="https://t.ex.com/x">{"alpha" if i % 3 else "beta"}</a>'
+                f'<a href="mailto:a@b">m</a><a href="/hub"></a>'.encode())
+    df = spark.createDataFrame([page(i) for i in range(12)],
+                               "url string, html binary")
+    out = anchor_text_aggregate(df, top_n=1)
+    rows = {(r.target, r.anchor): r.n for r in out.collect()}
+    # /hub resolves per-HOST: 6 pages each host, anchor "go hub"
+    assert rows[("https://s0.ex.com/hub", "go hub")] == 6
+    assert rows[("https://s1.ex.com/hub", "go hub")] == 6
+    # t.ex.com/x: alpha 8x beats beta 4x; top_n=1 keeps alpha only
+    assert rows[("https://t.ex.com/x", "alpha")] == 8
+    assert len(rows) == 3
