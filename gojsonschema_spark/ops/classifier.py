@@ -50,6 +50,7 @@ __all__ = [
     "weights_table",
     "score_quality_native",
     "score_quality",
+    "margin_column",
     "train_multiclass_classifier",
     "multiclass_weights_table",
     "score_multiclass_native",
@@ -223,13 +224,12 @@ def score_quality_native(df: DataFrame, weights: DataFrame, dim: int,
             .withColumnRenamed("key", key_col))
 
 
-def score_quality(df: DataFrame, model: dict, key_col: str,
-                  text_col: str = "text",
-                  lowercase: bool = True) -> DataFrame:
-    """Zero-shuffle Arrow scoring for a driver-held model: the weight
-    vector ships in the closure, each batch is one vectorized numpy
-    pass. Equivalence with :func:`score_quality_native` is pinned in
-    tests (same margins at float tolerance)."""
+def margin_column(model: dict, text_col: str = "text",
+                  lowercase: bool = True) -> Column:
+    """The driver-held model's margin as a zero-shuffle Column: the
+    weight vector ships in the closure, each batch is one vectorized
+    numpy pass. Composable anywhere a column fits (the pipeline facade
+    filters on it map-side)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -253,9 +253,19 @@ def score_quality(df: DataFrame, model: dict, key_col: str,
         return pd.Series(out + bias)
 
     margin_udf = _margin.asNondeterministic()  # optimizer-clone trap
+    return margin_udf(hashed_feature_ids(text_col, dim, lowercase))
+
+
+def score_quality(df: DataFrame, model: dict, key_col: str,
+                  text_col: str = "text",
+                  lowercase: bool = True) -> DataFrame:
+    """Zero-shuffle Arrow scoring for a driver-held model (see
+    :func:`margin_column`). Equivalence with
+    :func:`score_quality_native` is pinned in tests (same margins at
+    float tolerance)."""
     return (df.select(F.col(key_col),
-                      margin_udf(hashed_feature_ids(
-                          text_col, dim, lowercase)).alias("margin"))
+                      margin_column(model, text_col, lowercase)
+                      .alias("margin"))
             .withColumn("prob", F.lit(1.0) /
                         (F.lit(1.0) + F.exp(-F.col("margin")))))
 

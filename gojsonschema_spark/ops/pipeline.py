@@ -6,8 +6,10 @@ run actually executes, wired from the individual operators.
     schema validation -> per-host boilerplate strip -> PII redaction ->
     dedup (exact or MinHash-LSH + Jaccard verify + cluster resolution;
     optionally INCREMENTAL against a persisted day-2 store via
-    ``dedup_store``) -> composite Gopher quality gate ->
-    temperature-T mixing -> token-budget sequence packing
+    ``dedup_store``) -> composite Gopher quality gate -> trained
+    classifier gate (``clf_model``) -> LM perplexity gate
+    (``lm_model``) -> temperature-T mixing -> token-budget sequence
+    packing
 
 Everything stays lazy — one DataFrame in, one DataFrame out; the caller
 triggers execution with its own action (usually a checkpointed write via
@@ -60,6 +62,19 @@ class PipelineConfig:
     # stage 4: composite Gopher quality gate
     quality: bool = True
     gopher_kwargs: dict = field(default_factory=dict)
+
+    # stage 4b: trained classifier gate (train_quality_classifier
+    # output dict) — zero-shuffle Arrow margin column, filtered
+    # map-side at the logit of clf_threshold
+    clf_model: dict | None = None
+    clf_threshold: float = 0.5          # keep P(positive) >= threshold
+
+    # stage 4c: LM quality gate (ops/lm.BackoffLM) — CCNet-style floor
+    # on mean log-prob per token; survivors via left-semi join on
+    # key_col (the score side shuffles model-table joins, the corpus
+    # side only the semi-join)
+    lm_model: object | None = None
+    lm_min_logprob: float | None = None
 
     # stage 5: temperature mixing over a group column (None = skip)
     mix_col: str | None = None
@@ -171,6 +186,28 @@ def preprocess_corpus(df: DataFrame,
               .filter(F.col("keep")))
         df = df.drop("keep", *[c for c in df.columns
                                if c.startswith("ok_")])
+
+    if cfg.clf_model is not None:
+        import math
+
+        from .classifier import margin_column
+        t = min(max(cfg.clf_threshold, 1e-12), 1.0 - 1e-12)
+        cutoff = math.log(t / (1.0 - t))
+        df = (df.withColumn("__clf_margin",
+                            margin_column(cfg.clf_model, text))
+              .filter(F.col("__clf_margin") >= cutoff)
+              .drop("__clf_margin"))
+
+    if cfg.lm_model is not None:
+        if cfg.lm_min_logprob is None:
+            raise ValueError("lm_model requires lm_min_logprob")
+        from .lm import lm_score
+        keep = (lm_score(df, cfg.lm_model, text_col=text,
+                         id_col=cfg.key_col)
+                .filter(F.col("log_prob_per_token")
+                        >= cfg.lm_min_logprob)
+                .select(cfg.key_col))
+        df = df.join(keep, cfg.key_col, "left_semi")
 
     if cfg.mix_col:
         df = temperature_resample(df, cfg.mix_col, cfg.temperature,

@@ -1439,6 +1439,57 @@ def test_preprocess_corpus_exact_dedup_large_group(spark):
     assert kept == [0] + [1000 + i for i in range(7)]
 
 
+def test_preprocess_corpus_model_gates(spark):
+    """stages 4b/4c: a trained classifier drops spam at the threshold
+    logit (zero-shuffle margin column) and an LM floor drops
+    OOV-gibberish (left-semi on key) — composed in one facade call."""
+    from gojsonschema_spark.ops.classifier import train_quality_classifier
+    from gojsonschema_spark.ops.lm import lm_train
+    from gojsonschema_spark.ops.pipeline import (PipelineConfig,
+                                                 preprocess_corpus)
+
+    good = "the committee reviewed the archival evidence in detail"
+    spam = "buy cheap pills now click here winner jackpot"
+    gibber = "zqx9 vv7k pp3m zzz1 qqq2 xxy8 wvu3 kkj4"
+    train = spark.createDataFrame(
+        [(i, good + f" v{i}", 1) for i in range(8)]
+        + [(100 + i, spam + f" v{i}", 0) for i in range(8)],
+        "doc_id long, text string, y int")
+    model = train_quality_classifier(train, "y", dim=1 << 12,
+                                     n_iters=20, lr=2.0)
+    lm = lm_train(spark.createDataFrame(
+        [(0, good)], "doc_id long, text string"))
+
+    df = spark.createDataFrame(
+        [(1, good), (2, spam), (3, gibber)],
+        "doc_id long, text string")
+    cfg = PipelineConfig(boilerplate=False, redact=False, dedup="none",
+                         quality=False, pack_budget=None,
+                         clf_model=model, clf_threshold=0.5,
+                         lm_model=lm, lm_min_logprob=-1.5)
+    kept = sorted(r.doc_id for r in preprocess_corpus(df, cfg).collect())
+    assert kept == [1]
+    # each gate's own kill: the classifier (not the LM floor) is what
+    # rejects spam at threshold 0.5; the LM floor is what rejects the
+    # OOV gibberish (good text scores ~-0.2, OOV text ~-3 under the
+    # tiny reference LM; floor -1.5 separates them)
+    only_clf = PipelineConfig(boilerplate=False, redact=False,
+                              dedup="none", quality=False,
+                              pack_budget=None, clf_model=model)
+    assert 2 not in {r.doc_id for r in
+                     preprocess_corpus(df, only_clf).collect()}
+    only_lm = PipelineConfig(boilerplate=False, redact=False,
+                             dedup="none", quality=False,
+                             pack_budget=None, lm_model=lm,
+                             lm_min_logprob=-1.5)
+    assert 3 not in {r.doc_id for r in
+                     preprocess_corpus(df, only_lm).collect()}
+    with pytest.raises(ValueError, match="lm_min_logprob"):
+        preprocess_corpus(df, PipelineConfig(
+            boilerplate=False, redact=False, dedup="none", quality=False,
+            pack_budget=None, lm_model=lm))
+
+
 def test_exact_dedup_incremental(spark):
     """Day-2 exact dedup vs a persisted fingerprint store: new rows
     whose text is already stored drop; within-batch duplicate groups
