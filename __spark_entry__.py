@@ -1550,6 +1550,18 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "share", "bucket")
 
 
+def q_tfidf_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF featurization (ops/classifier.py::
+    hashed_tfidf_sparse): md5-bucketed fids, exact integer tf/df, the
+    dim-BOUNDED document-frequency table broadcast, smooth-idf weights
+    rounded to 6 (the lm_score ln-parity precedent). The text-to-vector
+    bridge feeding ANN/SemDeDup/k-means without an external model."""
+    from gojsonschema_spark.ops.classifier import hashed_tfidf_sparse
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_tfidf_sparse(d, 512, "doc_id")
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-target anchor-text profile (ops/html.py::extract_anchors +
     ops/graph.py::anchor_text_aggregate): anchors constructed in-query
@@ -1884,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_percentiles": q_exact_percentiles,
         "host_rollup": q_host_rollup,
         "anchor_texts": q_anchor_texts,
+        "tfidf_sparse": q_tfidf_sparse,
     }
 
 
@@ -3197,6 +3210,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             )
             SELECT target, anchor, n FROM r WHERE rk <= 2
+        """,
+        "tfidf_sparse": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS t
+                FROM documents
+            ), occ AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t), 1, 8))::BIGINT % 512 AS fid
+                FROM tok WHERE t <> ''
+            ), tf AS (
+                SELECT doc_id, fid, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM occ GROUP BY doc_id, fid
+            ), dfq AS (
+                SELECT fid, COUNT(DISTINCT doc_id) AS df
+                FROM occ GROUP BY fid
+            ), n AS (
+                SELECT COUNT(*) AS n FROM documents
+            )
+            SELECT t.doc_id, t.fid, t.tf,
+                   round(t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0),
+                         6) AS w
+            FROM tf t JOIN dfq d USING (fid) CROSS JOIN n
         """,
     })
     return out

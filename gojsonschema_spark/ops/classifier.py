@@ -55,6 +55,8 @@ __all__ = [
     "multiclass_weights_table",
     "score_multiclass_native",
     "multiclass_scorer",
+    "hashed_tfidf_sparse",
+    "tfidf_dense",
 ]
 
 MAX_DIM = 1 << 22  # driver weight vector <= 32 MB
@@ -493,3 +495,69 @@ def multiclass_scorer(model: dict):
         return pd.Series(out)
 
     return score
+
+
+def hashed_tfidf_sparse(df: DataFrame, dim: int, key_col: str,
+                        text_col: str = "text",
+                        lowercase: bool = True,
+                        round_to: int = 6) -> DataFrame:
+    """Sparse hashed TF-IDF: ``(key, fid, tf, w)`` rows with
+    ``w = round(tf * (ln((N+1)/(df+1)) + 1), round_to)`` (the
+    smooth-idf convention) — the text-to-vector bridge that feeds the
+    similarity stack (ANN, SemDeDup, k-means) without an external
+    embedding model.
+
+    Scale shape: tf is one explode + map-side-combined groupBy
+    (key, fid); the document-frequency table is bounded by ``dim``
+    ROWS BY CONSTRUCTION (fids live in [0, dim)), so its join
+    broadcasts safely at any corpus size; N is one bounded count.
+    md5-bucketed fids and exact integer tf/df make the whole thing
+    engine-reproducible (ln parity holds at round_to=6, the lm_score
+    precedent). Empty documents emit no rows.
+    """
+    _check_dim(dim)
+    occ = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(hashed_feature_ids(text_col, dim, lowercase))
+        .alias("fid"))
+    tf = occ.groupBy("key", "fid").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (occ.groupBy("fid")
+             .agg(F.count_distinct("key").alias("df")))
+    n = df.count()  # bounded scalar, the facade convention
+    idf = (F.log((F.lit(float(n + 1))) /
+                 (F.col("df").cast("double") + F.lit(1.0)))
+           + F.lit(1.0))
+    return (tf.join(F.broadcast(dfreq), "fid")
+            .select(F.col("key").alias(key_col), "fid",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.round(F.col("tf").cast("double") * idf, round_to)
+                    .alias("w")))
+
+
+def tfidf_dense(sparse: DataFrame, dim: int, key_col: str,
+                l2_normalize: bool = True) -> DataFrame:
+    """Assemble :func:`hashed_tfidf_sparse` rows into dense
+    ``array<double>`` vectors (``embedding``) for the ANN/clustering
+    ops. One groupBy(key) whose shuffle carries each doc's nonzero
+    entries; densification is a native map lookup over [0, dim).
+    Intended for moderate dims (<= 2^12-2^14) — at larger dims keep
+    the sparse form. L2 normalization makes dot products cosine."""
+    _check_dim(dim)
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("fid"), F.col("w"))))
+    dense = (sparse.groupBy(key_col)
+             .agg(m.alias("m"))
+             .select(key_col,
+                     F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                                 lambda i: F.coalesce(
+                                     F.element_at("m", i.cast("long")),
+                                     F.lit(0.0))).alias("embedding")))
+    if l2_normalize:
+        nrm = F.sqrt(F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x * x))
+        dense = dense.select(
+            key_col,
+            F.transform("embedding",
+                        lambda x: F.when(nrm > 0, x / nrm)
+                        .otherwise(F.lit(0.0))).alias("embedding"))
+    return dense

@@ -205,3 +205,49 @@ def test_multiclass_guards(spark):
                                         dim=64, n_iters=1)
     with pytest.raises(ValueError, match="dim"):
         clf.train_multiclass_classifier(df, "y", dim=1 << 22, n_iters=1)
+
+
+def test_hashed_tfidf_matches_reference_and_feeds_ann(spark):
+    """Sparse TF-IDF == sklearn-convention numpy reference; the dense
+    assembler L2-normalizes; near-identical docs cosine-rank first."""
+    import hashlib
+
+    from gojsonschema_spark.ops.classifier import (hashed_tfidf_sparse,
+                                                   tfidf_dense)
+
+    dim = 256
+    docs = [(0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat today"),
+            (2, "completely different words entirely"),
+            (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def fid(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+    # reference: tf * (ln((N+1)/(df+1)) + 1)
+    tfs = {}
+    dfreq = {}
+    for i, t in docs:
+        counts = {}
+        for tok in t.lower().split():
+            counts[fid(tok)] = counts.get(fid(tok), 0) + 1
+        tfs[i] = counts
+        for f in counts:
+            dfreq[f] = dfreq.get(f, 0) + 1
+    want = {(i, f): round(tf * (np.log(5 / (dfreq[f] + 1)) + 1), 6)
+            for i, counts in tfs.items() for f, tf in counts.items()}
+
+    sparse = hashed_tfidf_sparse(df, dim, "doc_id")
+    got = {(r.doc_id, r.fid): r.w for r in sparse.collect()}
+    assert got == pytest.approx(want)
+    assert not [k for k in got if k[0] == 3]  # empty doc: no rows
+
+    dense = {r.doc_id: np.array(r.embedding)
+             for r in tfidf_dense(sparse, dim, "doc_id").collect()}
+    for i in (0, 1, 2):
+        assert np.linalg.norm(dense[i]) == pytest.approx(1.0)
+        nz = {f for f, v in enumerate(dense[i]) if v != 0.0}
+        assert nz == set(tfs[i])
+    # cosine: doc 1 is nearest to doc 0, doc 2 far
+    assert dense[0] @ dense[1] > 0.9 > dense[0] @ dense[2]
