@@ -222,6 +222,21 @@ def bench_queries(spark) -> dict[str, float]:
         .agg(F.sum("dup_token_mass"), F.sum("n_dup_grams")).collect(),
         reps=2)
 
+    # CCNet perplexity bucketing: LM trained once (crc32 slice), each
+    # rep pays score joins + the range-partitioned prefix sum
+    from gojsonschema_spark.ops.lm import lm_train, perplexity_buckets
+    ppl_model = lm_train(pages.filter(F.crc32("url") % 4 == 0))
+
+    run("ppl_buckets", lambda: perplexity_buckets(
+        pages, ppl_model, id_col="url")
+        .groupBy("bucket").agg(F.sum("weight")).collect(), reps=2)
+
+    # hashed TF-IDF: explode + (key, fid) combine + dim-bounded df join
+    from gojsonschema_spark.ops.classifier import hashed_tfidf_sparse
+    run("tfidf_sparse", lambda: hashed_tfidf_sparse(
+        pages, 1 << 16, "url")
+        .agg(F.sum("w"), F.count(F.lit(1))).collect(), reps=2)
+
     # BPE encode: Arrow merge-loop with per-worker word memo (Zipf),
     # merge ranks in the closure, zero shuffle
     from gojsonschema_spark.ops.text import bpe_encode

@@ -500,7 +500,8 @@ def multiclass_scorer(model: dict):
 def hashed_tfidf_sparse(df: DataFrame, dim: int, key_col: str,
                         text_col: str = "text",
                         lowercase: bool = True,
-                        round_to: int = 6) -> DataFrame:
+                        round_to: int = 6,
+                        single_scan: bool = True) -> DataFrame:
     """Sparse hashed TF-IDF: ``(key, fid, tf, w)`` rows with
     ``w = round(tf * (ln((N+1)/(df+1)) + 1), round_to)`` (the
     smooth-idf convention) — the text-to-vector bridge that feeds the
@@ -521,8 +522,17 @@ def hashed_tfidf_sparse(df: DataFrame, dim: int, key_col: str,
         F.explode(hashed_feature_ids(text_col, dim, lowercase))
         .alias("fid"))
     tf = occ.groupBy("key", "fid").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (occ.groupBy("fid")
-             .agg(F.count_distinct("key").alias("df")))
+    # df(fid) from the ALREADY-GROUPED tf table: its rows are distinct
+    # (key, fid), so count(*) == count_distinct(key). tf has two
+    # consumers and Spark 4.1 does NOT reuse the diamond's exchange
+    # (measured: two separate ShuffleQueryStages materialize the same
+    # (key, fid) shuffle), so single_scan materializes tf once
+    # (localCheckpoint, the ranking-layout precedent) — the corpus is
+    # exploded and shuffled exactly once; pass False to stay fully
+    # lazy at the cost of a second explode+shuffle
+    if single_scan:
+        tf = tf.localCheckpoint(eager=True)
+    dfreq = tf.groupBy("fid").agg(F.count(F.lit(1)).alias("df"))
     n = df.count()  # bounded scalar, the facade convention
     idf = (F.log((F.lit(float(n + 1))) /
                  (F.col("df").cast("double") + F.lit(1.0)))

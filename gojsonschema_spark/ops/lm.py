@@ -56,9 +56,9 @@ def ngram_counts(df: DataFrame, n: int, text_col: str = "text",
     if n == 1:
         gram = F.explode(toks)
     else:
-        size = F.size(toks)
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # short docs
         zipped = F.arrays_zip(*[
-            F.slice(toks, i + 1, size - (n - 1)).alias(f"w{i}")
+            F.slice(toks, i + 1, cnt).alias(f"w{i}")
             for i in range(n)])
         gram = F.concat_ws(" ", *[
             F.col(f"g.w{i}") for i in range(n)])
@@ -106,9 +106,13 @@ def lm_train(df: DataFrame, text_col: str = "text",
     words = df.select(toks.alias("toks"), size.alias("sz"))
     uni = (words.select(F.explode("toks").alias("word"))
            .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    # greatest(sz-1, 0): slice() rejects negative lengths, so an
+    # empty/whitespace-only document (sz = 0) must clamp — web corpora
+    # always contain them
+    bigram_len = F.greatest(F.col("sz") - 1, F.lit(0))
     zipped = F.arrays_zip(
-        F.slice(F.col("toks"), 1, F.col("sz") - 1).alias("prev"),
-        F.slice(F.col("toks"), 2, F.col("sz") - 1).alias("word"))
+        F.slice(F.col("toks"), 1, bigram_len).alias("prev"),
+        F.slice(F.col("toks"), 2, bigram_len).alias("word"))
     bg = (words.select(F.explode(zipped).alias("g"))
           .select(F.col("g.prev").alias("prev"), F.col("g.word").alias("word"))
           .groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c_bg")))

@@ -115,3 +115,20 @@ def test_scoring_plan_is_native(spark, model):
     assert "Python" not in plan and "BatchEvalPython" not in plan
     # final per-doc aggregate has a map-side partial
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_lm_train_and_ngrams_survive_empty_docs(spark):
+    """Web corpora contain empty/whitespace-only documents: training
+    and n-gram counting must clamp the bigram slice, not crash
+    (slice() rejects negative lengths)."""
+    from gojsonschema_spark.ops.lm import lm_score, lm_train, ngram_counts
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, ""), (2, "   "), (3, "one")],
+        "doc_id long, text string")
+    model = lm_train(df)
+    assert model.total_tokens == 4
+    got = {r.doc_id: r.n_tokens for r in lm_score(df, model).collect()}
+    assert got == {0: 3, 1: 0, 2: 0, 3: 1}
+    grams = {(r.gram): r.n for r in ngram_counts(df, 2).collect()}
+    assert grams == {"the cat": 1, "cat sat": 1}
