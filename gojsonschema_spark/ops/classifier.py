@@ -57,6 +57,8 @@ __all__ = [
     "multiclass_scorer",
     "hashed_tfidf_sparse",
     "tfidf_dense",
+    "save_classifier",
+    "load_classifier",
 ]
 
 MAX_DIM = 1 << 22  # driver weight vector <= 32 MB
@@ -571,3 +573,54 @@ def tfidf_dense(sparse: DataFrame, dim: int, key_col: str,
                         lambda x: F.when(nrm > 0, x / nrm)
                         .otherwise(F.lit(0.0))).alias("embedding"))
     return dense
+
+
+def save_classifier(spark, model: dict, path: str) -> None:
+    """Persist a trained model (binary or multiclass) for day-2 reuse:
+    nonzero weights as parquet (splittable, schema'd) plus a one-row
+    meta table (bias(es), classes, dim, losses as JSON). Mirrors the
+    BackoffLM convention — train once on the reference corpus, score
+    every subsequent crawl from the store."""
+    import json
+
+    if "W" in model:  # multiclass
+        rows = [(int(f), int(c), float(w))
+                for c, wc in enumerate(model["W"])
+                for f, w in enumerate(wc) if w != 0.0]
+        spark.createDataFrame(rows or [(0, 0, 0.0)],
+                              "fid long, c int, w double") \
+            .write.mode("overwrite").parquet(f"{path}/weights")
+    else:
+        rows = [(int(f), float(w))
+                for f, w in enumerate(model["w"]) if w != 0.0]
+        spark.createDataFrame(rows or [(0, 0.0)],
+                              "fid long, w double") \
+            .write.mode("overwrite").parquet(f"{path}/weights")
+    meta = {k: v for k, v in model.items() if k not in ("w", "W")}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_classifier(spark, path: str) -> dict:
+    """Inverse of :func:`save_classifier`; returns the model dict
+    (dense weight list(s) rebuilt from the sparse store)."""
+    import json
+
+    meta = json.loads(
+        spark.read.parquet(f"{path}/meta").collect()[0].meta)
+    dim = meta["dim"]
+    w = spark.read.parquet(f"{path}/weights")
+    if "classes" in meta:  # multiclass
+        C = len(meta["classes"])
+        W = [[0.0] * dim for _ in range(C)]
+        for r in w.collect():
+            if r.w != 0.0:
+                W[r.c][r.fid] = r.w
+        meta["W"] = W
+    else:
+        dense = [0.0] * dim
+        for r in w.collect():
+            if r.w != 0.0:
+                dense[r.fid] = r.w
+        meta["w"] = dense
+    return meta

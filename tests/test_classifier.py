@@ -251,3 +251,30 @@ def test_hashed_tfidf_matches_reference_and_feeds_ann(spark):
         assert nz == set(tfs[i])
     # cosine: doc 1 is nearest to doc 0, doc 2 far
     assert dense[0] @ dense[1] > 0.9 > dense[0] @ dense[2]
+
+
+def test_save_load_roundtrip(spark, model, mc_model, tmp_path):
+    """Day-2 persistence: both model kinds round-trip through parquet
+    exactly (weights, bias, classes, dim) and score identically."""
+    from gojsonschema_spark.ops.classifier import (load_classifier,
+                                                   save_classifier)
+
+    p1 = str(tmp_path / "binary")
+    save_classifier(spark, model, p1)
+    back = load_classifier(spark, p1)
+    assert back["w"] == model["w"] and back["bias"] == model["bias"]
+    assert back["dim"] == model["dim"]
+
+    p2 = str(tmp_path / "multi")
+    save_classifier(spark, mc_model, p2)
+    back2 = load_classifier(spark, p2)
+    assert back2["W"] == mc_model["W"]
+    assert back2["bias"] == mc_model["bias"]
+    assert back2["classes"] == mc_model["classes"]
+
+    df = _corpus(spark, 1)
+    a = {r.doc_id: r.margin for r in
+         clf.score_quality(df, model, "doc_id").collect()}
+    b = {r.doc_id: r.margin for r in
+         clf.score_quality(df, back, "doc_id").collect()}
+    assert a == b
