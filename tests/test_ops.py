@@ -2075,3 +2075,29 @@ def test_normalize_unicode(spark):
     plan = normalize_unicode(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_sort_by_length(spark):
+    """Next-fit-decreasing packs strictly fewer bins than arrival-order
+    next-fit on the classic alternating pattern, and keeps the
+    per-pack budget invariant."""
+    from gojsonschema_spark.ops.text import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate([5, 6, 5, 6, 5, 6])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long") \
+        .coalesce(1)
+    plain = pack_sequences(df, "n_tok", budget=10).collect()
+    nfd = pack_sequences(df, "n_tok", budget=10,
+                         sort_by_length=True).collect()
+
+    def check(rows_):
+        packs = {}
+        for r in rows_:
+            packs.setdefault(r.pack_id, 0)
+            packs[r.pack_id] += r.n_tok
+        assert all(v <= 10 for v in packs.values())
+        return len(packs)
+
+    assert check(plain) == 6      # 5|6 alternation defeats next-fit
+    assert check(nfd) == 5        # {6},{6},{6},{5,5},{5}
+    assert {r.doc_id for r in nfd} == set(range(6))

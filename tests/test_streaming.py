@@ -7,7 +7,8 @@ import time
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType, TimestampType)
 
 from gojsonschema_spark.spark.engine import SparkValidator
 from gojsonschema_spark.spark.streaming import validate_stream, windowed_invalid_rate
@@ -641,3 +642,46 @@ def test_validate_stream_to_parquet_exactly_once(spark, tmp_path):
     assert verdicts['{"url":"https://a"}'] is True
     assert verdicts['{"url":1}'] is False
     assert verdicts['{"url":"https://b"}'] is True
+
+
+def test_streaming_classifier_margin_gate(spark, tmp_path):
+    """The trained-classifier margin column is a plain Arrow UDF +
+    map-side filter, so it composes with Structured Streaming
+    unchanged — the facade's stage-4b gate works on a stream."""
+    import json as _json
+
+    from gojsonschema_spark.ops.classifier import (margin_column,
+                                                   train_quality_classifier)
+
+    good = "the committee reviewed the archival evidence in detail"
+    spam = "buy cheap pills now click here winner jackpot"
+    train = spark.createDataFrame(
+        [(i, good + f" v{i}", 1) for i in range(8)]
+        + [(100 + i, spam + f" v{i}", 0) for i in range(8)],
+        "doc_id long, text string, y int")
+    model = train_quality_classifier(train, "y", dim=1 << 12,
+                                     n_iters=20, lr=2.0)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i, t in [(1, good), (2, spam), (3, good + " again")]:
+            f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (spark.readStream
+              .schema(StructType([StructField("doc_id", LongType()),
+                                  StructField("text", StringType())]))
+              .json(str(src)))
+    gated = (stream
+             .withColumn("m", margin_column(model))
+             .filter(F.col("m") >= 0.0)
+             .select("doc_id"))
+    q = (gated.writeStream.format("memory").queryName("clf_gate")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        kept = sorted(r.doc_id for r in
+                      spark.sql("select * from clf_gate").collect())
+        assert kept == [1, 3]
+    finally:
+        q.stop()
