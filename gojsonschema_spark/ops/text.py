@@ -1,8 +1,11 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-All pure ``pyspark.sql.functions`` expressions (JVM-side, codegen) — no
-Python in the hot path. Each operator returns per-document columns and is
-SQL-expressible so the DuckDB oracle can cross-check it.
+Default posture: pure ``pyspark.sql.functions`` expressions (JVM-side,
+codegen), SQL-expressible so the DuckDB oracle can cross-check them.
+The documented exceptions are Arrow-batched map passes for things the
+JVM has no column function for (unicodedata normalization, zlib
+compression ratio, the BPE merge loop) — always ``mapInPandas``/
+``pandas_udf``, never row-at-a-time Python, always zero-shuffle.
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ __all__ = ["tokenize", "token_count", "quality_score", "language_id",
            "c4_quality_filter", "token_vocab", "fix_mojibake",
            "mojibake_repairs", "mojibake_sql_expr", "bpe_pair_counts",
            "bpe_train", "bpe_encode", "bpe_encode_expr",
-           "normalize_unicode"]
+           "normalize_unicode", "compression_ratio"]
 
 # tiny per-language stopword markers for the n-gram/stopword language
 # heuristic — deterministic and cheap, not a real LID model
@@ -823,3 +826,37 @@ def bpe_encode_expr(text_col: str, merges,
 
     return F.flatten(F.transform(_bpe_words(text_col, lowercase),
                                  enc_word))
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      out_col: str = "zlib_ratio",
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap repetition/entropy signal (near 0 = degenerate
+    repetition, ~0.3-0.6 = normal prose, >0.9 = high-entropy/binary
+    junk). Used alongside the Gopher gates: it catches repetition the
+    n-gram metrics miss (long-period templates) and gibberish the
+    stopword ratios miss.
+
+    Arrow-batched stdlib zlib (no JVM column function exists), map-side
+    zero shuffle, nondeterministic-marked (optimizer-clone trap). Empty
+    or NULL text scores 1.0 (incompressible by convention, so a
+    low-ratio filter never selects it)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts):
+        import zlib
+
+        import pandas as pd
+        out = []
+        for t in texts:
+            if not t:
+                out.append(1.0)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pd.Series(out)
+
+    return df.withColumn(out_col,
+                         _ratio.asNondeterministic()(F.col(text_col)))

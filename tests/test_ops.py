@@ -2101,3 +2101,28 @@ def test_pack_sequences_sort_by_length(spark):
     assert check(plain) == 6      # 5|6 alternation defeats next-fit
     assert check(nfd) == 5        # {6},{6},{6},{5,5},{5}
     assert {r.doc_id for r in nfd} == set(range(6))
+
+
+def test_compression_ratio(spark):
+    """Degenerate repetition compresses far below prose; random-ish
+    text compresses worst; empty/NULL pin to 1.0; zlib reference."""
+    import zlib
+
+    from gojsonschema_spark.ops.text import compression_ratio
+
+    prose = ("the committee reviewed the archival evidence and "
+             "documented each finding with careful citations ") * 3
+    import hashlib
+    junk = "".join(hashlib.sha256(bytes([i])).hexdigest()
+                   for i in range(12))  # non-repeating, high entropy
+    rows = [(0, "spam " * 200), (1, prose), (2, junk), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.zlib_ratio for r in
+           compression_ratio(df).collect()}
+    for i, t in rows:
+        if t:
+            raw = t.encode()
+            assert got[i] == pytest.approx(
+                len(zlib.compress(raw, 6)) / len(raw))
+    assert got[0] < 0.05 < got[1] < got[2]
+    assert got[3] == 1.0 and got[4] == 1.0
