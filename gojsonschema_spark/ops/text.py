@@ -774,6 +774,9 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     from pyspark.sql.functions import pandas_udf
 
     merges = [(str(a), str(b)) for a, b in merges]
+    if len(merges) > 1 << 20:  # closure ships to every task
+        raise ValueError(f"merge list too large ({len(merges)}); "
+                         "real tokenizers are 10^4-10^5 merges")
 
     @pandas_udf("array<string>")
     def _enc(words_s):
