@@ -34,7 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["BackoffLM", "ngram_counts", "lm_train", "lm_score",
-           "perplexity_buckets"]
+           "lm_save", "lm_load", "perplexity_buckets"]
 
 
 def _tokens(text_col: str, lowercase: bool) -> F.Column:
@@ -212,3 +212,25 @@ def perplexity_buckets(df: DataFrame, model: BackoffLM,
         joined, "log_prob_per_token", id_col=id_col, group_col=lang_col,
         weight_col="n_tokens", cuts=cuts, labels=labels,
         descending=True, num_partitions=num_partitions)
+
+
+def lm_save(model: BackoffLM, path: str) -> None:
+    """Persist a trained LM for day-2 scoring: bigram/unigram tables as
+    parquet plus a one-row meta table (N, alpha, lowercase)."""
+    model.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    model.unigrams.write.mode("overwrite").parquet(f"{path}/unigrams")
+    spark = model.bigrams.sparkSession
+    spark.createDataFrame(
+        [(model.total_tokens, float(model.alpha), bool(model.lowercase))],
+        "total_tokens long, alpha double, lowercase boolean") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def lm_load(spark, path: str) -> BackoffLM:
+    """Inverse of :func:`lm_save`."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return BackoffLM(bigrams=spark.read.parquet(f"{path}/bigrams"),
+                     unigrams=spark.read.parquet(f"{path}/unigrams"),
+                     total_tokens=int(meta.total_tokens),
+                     alpha=float(meta.alpha),
+                     lowercase=bool(meta.lowercase))

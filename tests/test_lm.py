@@ -132,3 +132,19 @@ def test_lm_train_and_ngrams_survive_empty_docs(spark):
     assert got == {0: 3, 1: 0, 2: 0, 3: 1}
     grams = {(r.gram): r.n for r in ngram_counts(df, 2).collect()}
     assert grams == {"the cat": 1, "cat sat": 1}
+
+
+def test_lm_save_load_roundtrip(spark, tmp_path):
+    from gojsonschema_spark.ops.lm import lm_load, lm_save, lm_score, lm_train
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog ran far")],
+        "doc_id long, text string")
+    model = lm_train(df, alpha=0.3)
+    lm_save(model, str(tmp_path / "lm"))
+    back = lm_load(spark, str(tmp_path / "lm"))
+    assert (back.total_tokens, back.alpha, back.lowercase) == \
+        (model.total_tokens, 0.3, True)
+    a = {r.doc_id: r.log_prob_per_token for r in lm_score(df, model).collect()}
+    b = {r.doc_id: r.log_prob_per_token for r in lm_score(df, back).collect()}
+    assert a == b

@@ -50,6 +50,14 @@ def main():
                          "with the SURVIVORS' fps at this parquet path "
                          "(exact mode) so the next run can pass it as "
                          "--dedup-store")
+    ap.add_argument("--clf-model", default=None,
+                    help="path of a save_classifier() store — enables the "
+                         "trained-classifier quality gate (stage 4b)")
+    ap.add_argument("--clf-threshold", type=float, default=0.5)
+    ap.add_argument("--lm-model", default=None,
+                    help="path of an lm_save() store — enables the CCNet "
+                         "LM floor (stage 4c); requires --lm-min-logprob")
+    ap.add_argument("--lm-min-logprob", type=float, default=None)
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("gjs-pipeline").getOrCreate()
@@ -69,11 +77,23 @@ def main():
     n_in = staged.count()
 
     store = spark.read.parquet(args.dedup_store) if args.dedup_store else None
+    clf_model = None
+    if args.clf_model:
+        from gojsonschema_spark.ops.classifier import load_classifier
+        clf_model = load_classifier(spark, args.clf_model)
+    lm_model = None
+    if args.lm_model:
+        from gojsonschema_spark.ops.lm import lm_load
+        lm_model = lm_load(spark, args.lm_model)
     cfg = PipelineConfig(dedup=args.dedup, mix_col=args.mix_col,
                          temperature=args.temperature,
                          pack_budget=args.pack_budget or None,
                          quality=not args.no_quality,
                          dedup_store=store,
+                         clf_model=clf_model,
+                         clf_threshold=args.clf_threshold,
+                         lm_model=lm_model,
+                         lm_min_logprob=args.lm_min_logprob,
                          gopher_kwargs={"min_words": args.min_words,
                                         "min_stop_hits": args.min_stop_hits})
     out = preprocess_corpus(staged, cfg)
