@@ -73,14 +73,17 @@ def hashed_feature_ids(text_col: str, dim: int,
                        lowercase: bool = True) -> Column:
     """Array of hashed token feature ids (one per occurrence —
     duplicates ARE the term frequency). md5-bucketed so any SQL engine
-    reproduces the ids bit-for-bit."""
+    reproduces the ids bit-for-bit. NULL text yields an EMPTY array
+    (not NULL) — the Arrow consumers (training partials,
+    margin_column) iterate the arrays and must never see None."""
     _check_dim(dim)
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     toks = F.array_remove(F.split(text, r"\s+"), "")
-    return F.transform(
+    fids = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
         .cast("long") % dim)
+    return F.coalesce(fids, F.array().cast("array<bigint>"))
 
 
 _GRAD_SCHEMA = StructType([
@@ -189,7 +192,7 @@ def train_quality_classifier(
             w = w - lr * grad
             bias = bias - lr * gb
         return {"w": w.tolist(), "bias": float(bias), "losses": losses,
-                "dim": dim}
+                "dim": dim, "lowercase": lowercase}
     finally:
         if cache:
             feat.unpersist()
@@ -229,7 +232,7 @@ def score_quality_native(df: DataFrame, weights: DataFrame, dim: int,
 
 
 def margin_column(model: dict, text_col: str = "text",
-                  lowercase: bool = True) -> Column:
+                  lowercase: bool | None = None) -> Column:
     """The driver-held model's margin as a zero-shuffle Column: the
     weight vector ships in the closure, each batch is one vectorized
     numpy pass. Composable anywhere a column fits (the pipeline facade
@@ -239,6 +242,8 @@ def margin_column(model: dict, text_col: str = "text",
 
     dim = model["dim"]
     _check_dim(dim)
+    if lowercase is None:  # honor how the model was TRAINED
+        lowercase = model.get("lowercase", True)
     w = np.asarray(model["w"], dtype=np.float64)
     bias = float(model["bias"])
 
@@ -262,7 +267,7 @@ def margin_column(model: dict, text_col: str = "text",
 
 def score_quality(df: DataFrame, model: dict, key_col: str,
                   text_col: str = "text",
-                  lowercase: bool = True) -> DataFrame:
+                  lowercase: bool | None = None) -> DataFrame:
     """Zero-shuffle Arrow scoring for a driver-held model (see
     :func:`margin_column`). Equivalence with
     :func:`score_quality_native` is pinned in tests (same margins at
@@ -306,9 +311,11 @@ def train_multiclass_classifier(
 
     _check_dim(dim)
     if classes is None:
-        classes = sorted(
-            r[0] for r in df.select(label_col).distinct().limit(65)
-            .collect())
+        seen = [r[0] for r in df.select(label_col).distinct().limit(65)
+                .collect()]
+        if any(c is None for c in seen):
+            raise ValueError(f"label column {label_col!r} contains NULL")
+        classes = sorted(seen)
     classes = list(classes)
     C = len(classes)
     if not 2 <= C <= 64:
@@ -339,6 +346,7 @@ def train_multiclass_classifier(
                 import numpy as np
                 import pandas as pd
                 acc: dict = {}
+                G_loc = None  # dense (dim, C) gradient, lazily allocated
                 loss = 0.0
                 n = 0
                 for pdf in batches:
@@ -364,26 +372,33 @@ def train_multiclass_classifier(
                     r = p
                     r[rows, y] -= 1.0
                     if flat.size:
-                        uf, inv = np.unique(flat, return_inverse=True)
-                        gp = np.zeros((len(uf), C), dtype=np.float64)
-                        np.add.at(gp, inv, r[docix])
-                        ids = (uf[:, None] * C +
-                               np.arange(C)[None, :]).ravel()
-                        for fid, gv in zip(ids.tolist(),
-                                           gp.ravel().tolist()):
-                            if gv != 0.0:
-                                acc[fid] = acc.get(fid, 0.0) + gv
+                        # softmax residuals are DENSE across classes, so
+                        # accumulate into a dense (dim, C) array (bounded
+                        # to 32 MB by the dim*C guard) instead of a
+                        # Python dict over |unique_fids| x C entries
+                        if G_loc is None:
+                            G_loc = np.zeros((dim, C), dtype=np.float64)
+                        np.add.at(G_loc, flat, r[docix])
                     gb = r.sum(axis=0)
                     for c in range(C):
                         acc[-(c + 1)] = acc.get(-(c + 1), 0.0) + gb[c]
                     n += len(lists)
                 acc[LOSS_ID] = acc.get(LOSS_ID, 0.0) + loss
                 acc[COUNT_ID] = acc.get(COUNT_ID, 0.0) + float(n)
+                if G_loc is not None:
+                    fids_nz, cs_nz = np.nonzero(G_loc)
+                    ids = fids_nz * C + cs_nz
+                    vals = G_loc[fids_nz, cs_nz]
+                else:
+                    ids = np.empty(0, dtype=np.int64)
+                    vals = np.empty(0, dtype=np.float64)
+                pseudo_ids = np.fromiter(acc.keys(), dtype=np.int64,
+                                         count=len(acc))
+                pseudo_vals = np.fromiter(acc.values(), dtype=np.float64,
+                                          count=len(acc))
                 yield pd.DataFrame(
-                    {"fid": np.fromiter(acc.keys(), dtype=np.int64,
-                                        count=len(acc)),
-                     "g": np.fromiter(acc.values(), dtype=np.float64,
-                                      count=len(acc))})
+                    {"fid": np.concatenate([ids, pseudo_ids]),
+                     "g": np.concatenate([vals, pseudo_vals])})
 
             rows = (feat.mapInPandas(partials, _GRAD_SCHEMA)
                     .groupBy("fid").agg(F.sum("g").alias("g"))
@@ -407,7 +422,7 @@ def train_multiclass_classifier(
             bias = bias - lr * gb / n
         return {"W": [W[:, c].tolist() for c in range(C)],
                 "bias": bias.tolist(), "classes": classes,
-                "losses": losses, "dim": dim}
+                "losses": losses, "dim": dim, "lowercase": lowercase}
     finally:
         if cache:
             feat.unpersist()
@@ -479,6 +494,7 @@ def multiclass_scorer(model: dict):
     bias = np.asarray(model["bias"], dtype=np.float64)
     classes = np.asarray(model["classes"], dtype=object)
     dim = model["dim"]
+    lower = model.get("lowercase", True)
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def score(texts):
@@ -487,7 +503,7 @@ def multiclass_scorer(model: dict):
         for t in texts:
             m = bias.copy()
             if t:
-                for tok in ws.split(t.lower()):
+                for tok in ws.split(t.lower() if lower else t):
                     if tok:
                         fid = int(hashlib.md5(
                             tok.encode("utf-8")).hexdigest()[:8],
@@ -567,10 +583,18 @@ def tfidf_dense(sparse: DataFrame, dim: int, key_col: str,
     if l2_normalize:
         nrm = F.sqrt(F.aggregate(
             "embedding", F.lit(0.0), lambda a, x: a + x * x))
+        # Generate barrier: CollapseProject would inline the norm
+        # aggregate into the transform lambda below — re-evaluated per
+        # ELEMENT, O(dim^2) interpreted evals per row. explode(array())
+        # pins it to an attribute computed once per row (the
+        # engine.violations_table pattern).
+        dense = dense.select(key_col, "embedding",
+                             F.explode(F.array(nrm)).alias("__nrm"))
         dense = dense.select(
             key_col,
             F.transform("embedding",
-                        lambda x: F.when(nrm > 0, x / nrm)
+                        lambda x: F.when(F.col("__nrm") > 0,
+                                         x / F.col("__nrm"))
                         .otherwise(F.lit(0.0))).alias("embedding"))
     return dense
 

@@ -146,7 +146,13 @@ def extract_anchors(html_col: Column, *, is_binary: bool = True) -> Column:
         href = F.replace(
             F.substring(href_q, F.lit(2), F.length(href_q) - 2),
             F.lit("&amp;"), F.lit("&"))
-        inner = F.regexp_extract(b, "(?is)^<a[^>]*>(.*)</a>$", 1)
+        # the opening tag is re-matched WITH the quoted href group so a
+        # '>' inside the href value cannot end the tag early and leak
+        # the attribute tail into the text (a quoted '>' in attributes
+        # AFTER href remains out of scope, like extract_links)
+        inner = F.regexp_extract(
+            b, "(?is)^<a\\b[^>]*?\\shref\\s*=\\s*"
+               "(\"[^\"]*\"|'[^']*')[^>]*>(.*)</a>$", 2)
         text = F.replace(
             F.trim(F.regexp_replace(
                 F.regexp_replace(inner, "(?s)<[^>]*>", " "),

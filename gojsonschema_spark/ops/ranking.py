@@ -116,8 +116,13 @@ def cumulative_share_buckets(
     # partitions => bounded by n_parts + |groups| rows.
     stats = (ranged.groupBy("__pid", "__grp")
              .agg(F.sum("__w").alias("s"),
-                  F.min("__w").alias("w_min"))
+                  F.min("__w").alias("w_min"),
+                  F.max(F.col("__w").isNull().cast("int"))
+                  .alias("has_null"))
              .collect())
+    if any(r["has_null"] for r in stats):
+        raise ValueError("weights must be non-null (coalesce the "
+                         "weight column first)")
     if min((r["w_min"] for r in stats), default=0) < 0:
         raise ValueError("weights must be non-negative")
     offsets: dict[tuple[int, str], int] = {}

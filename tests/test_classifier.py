@@ -278,3 +278,52 @@ def test_save_load_roundtrip(spark, model, mc_model, tmp_path):
     b = {r.doc_id: r.margin for r in
          clf.score_quality(df, back, "doc_id").collect()}
     assert a == b
+
+
+def test_null_text_rows_survive_everywhere(spark):
+    """Web corpora contain NULL text: featurization yields an EMPTY
+    array, so training runs and BOTH scoring paths agree (bias) —
+    previously the Arrow path crashed with TypeError."""
+    df = spark.createDataFrame(
+        [(0, "real text here", 1), (1, None, 0), (2, "more words", 0)],
+        "doc_id long, text string, y int")
+    model = clf.train_quality_classifier(df, "y", dim=256, n_iters=2)
+    arrow = {r.doc_id: r.margin for r in
+             clf.score_quality(df, model, "doc_id").collect()}
+    wtab = clf.weights_table(spark, model)
+    native = {r.doc_id: r.margin for r in clf.score_quality_native(
+        df, wtab, 256, "doc_id", bias=model["bias"]).collect()}
+    assert arrow[1] == pytest.approx(model["bias"])
+    for k in native:
+        assert native[k] == pytest.approx(arrow[k], rel=1e-9, abs=1e-12)
+    mc = clf.train_multiclass_classifier(
+        df.withColumn("y", F.col("y").cast("string")), "y",
+        dim=256, n_iters=2)
+    assert mc["classes"] == ["0", "1"]
+
+
+def test_lowercase_flag_round_trips(spark, tmp_path):
+    """A case-sensitive model records lowercase=False and every
+    consumer honors it — margin_column, the scorer bridge, save/load."""
+    from gojsonschema_spark.ops.classifier import (load_classifier,
+                                                   save_classifier)
+
+    df = spark.createDataFrame(
+        [(i, "GOOD Words Here" if i % 2 else "bad words here", i % 2)
+         for i in range(40)], "doc_id long, text string, y int")
+    model = clf.train_quality_classifier(df, "y", dim=512, n_iters=15,
+                                         lr=2.0, lowercase=False)
+    assert model["lowercase"] is False
+    save_classifier(spark, model, str(tmp_path / "cs"))
+    back = load_classifier(spark, str(tmp_path / "cs"))
+    assert back["lowercase"] is False
+    got = {r.doc_id: r.prob for r in
+           clf.score_quality(df, back, "doc_id").collect()}
+    labels = {r.doc_id: r.y for r in df.collect()}
+    assert all((got[k] > 0.5) == (labels[k] == 1) for k in labels)
+    with pytest.raises(ValueError, match="NULL"):
+        clf.train_multiclass_classifier(
+            spark.createDataFrame([(0, "x", None), (1, "y", "a"),
+                                   (2, "z", "b")],
+                                  "doc_id long, text string, y string"),
+            "y", dim=64, n_iters=1)

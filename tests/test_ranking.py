@@ -200,3 +200,13 @@ def test_exact_percentiles_guards(spark):
     with pytest.raises(ValueError, match="duplicate"):
         exact_weighted_percentiles(df, "score", qs=(0.5, 0.5),
                                    id_col="doc_id")
+
+
+def test_null_weights_rejected(spark):
+    from gojsonschema_spark.ops.ranking import cumulative_share_buckets
+
+    df = spark.createDataFrame([(1, "a", 1.0, 2), (2, "a", 2.0, None)],
+                               "doc_id long, lang string, score double, w long")
+    with pytest.raises(ValueError, match="non-null"):
+        cumulative_share_buckets(df, "score", id_col="doc_id",
+                                 group_col="lang", weight_col="w")

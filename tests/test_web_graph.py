@@ -279,3 +279,14 @@ def test_anchor_text_aggregate(spark):
     # t.ex.com/x: alpha 8x beats beta 4x; top_n=1 keeps alpha only
     assert rows[("https://t.ex.com/x", "alpha")] == 8
     assert len(rows) == 3
+
+
+def test_extract_anchors_gt_inside_href(spark):
+    """'>' inside the QUOTED href must not end the opening tag early
+    and leak the attribute tail into the anchor text."""
+    from gojsonschema_spark.ops.html import extract_anchors
+
+    html = '<a href="/x?q=a>b" class="y">link text</a>'
+    [row] = spark.createDataFrame([(html,)], ["h"]).select(
+        extract_anchors(F.col("h"), is_binary=False).alias("a")).collect()
+    assert [(a.href, a.text) for a in row.a] == [("/x?q=a>b", "link text")]
