@@ -86,6 +86,22 @@ def hashed_feature_ids(text_col: str, dim: int,
     return F.coalesce(fids, F.array().cast("array<bigint>"))
 
 
+def _tokens_for_fids(text_col: str, lowercase: bool) -> Column:
+    """The token array :func:`hashed_feature_ids` hashes — exposed so
+    row-wise consumers can explode the TOKENS and apply :func:`_fid_of`
+    as a plain scalar expression (whole-stage codegen) instead of
+    paying the interpreted per-element ``transform`` lambda."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return F.array_remove(F.split(text, r"\s+"), "")
+
+
+def _fid_of(tok: Column, dim: int) -> Column:
+    """Scalar twin of the :func:`hashed_feature_ids` lambda body —
+    identical md5 bucketing, element for element."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10) \
+        .cast("long") % dim
+
+
 _GRAD_SCHEMA = StructType([
     StructField("fid", LongType()),
     StructField("g", DoubleType()),
@@ -202,9 +218,26 @@ def weights_table(spark, model: dict, drop_zero: bool = True) -> DataFrame:
     """(fid, w) DataFrame for the native scoring join. ``drop_zero``
     omits never-touched features (absent fid == weight 0 under the
     LEFT join in :func:`score_quality_native`)."""
-    rows = [(i, wi) for i, wi in enumerate(model["w"])
-            if not (drop_zero and wi == 0.0)]
-    return spark.createDataFrame(rows, "fid long, w double")
+    import numpy as np
+    import pandas as pd
+
+    w = np.asarray(model["w"], dtype=np.float64)
+    fids = np.flatnonzero(w) if drop_zero else np.arange(len(w))
+    pdf = pd.DataFrame({"fid": fids.astype(np.int64), "w": w[fids]})
+    # Arrow path: a dim-sized table of pickled Row tuples measured
+    # ~10x slower to ship than one Arrow batch
+    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled",
+                          None)
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        out = spark.createDataFrame(pdf, "fid long, w double")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.pyspark.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.pyspark.enabled", prev)
+    return out
 
 
 def score_quality_native(df: DataFrame, weights: DataFrame, dim: int,
@@ -217,10 +250,15 @@ def score_quality_native(df: DataFrame, weights: DataFrame, dim: int,
     tokens score the bias) and ``prob``. The weights side is
     broadcast — safe by construction, dim is guarded."""
     _check_dim(dim)
-    base = df.select(F.col(key_col).alias("key"),
-                     hashed_feature_ids(text_col, dim, lowercase)
-                     .alias("fids"))
-    occ = base.select("key", F.explode_outer("fids").alias("fid"))
+    # explode the TOKENS, hash after: the md5 bucketing runs as scalar
+    # expressions under whole-stage codegen instead of one interpreted
+    # transform-lambda call per token (identical fids element for
+    # element; explode_outer of an empty/NULL token array and of the
+    # empty/NULL fid array both yield one NULL row)
+    occ = (df.select(F.col(key_col).alias("key"),
+                     F.explode_outer(_tokens_for_fids(text_col, lowercase))
+                     .alias("t0"))
+           .select("key", _fid_of(F.col("t0"), dim).alias("fid")))
     scored = (occ.join(F.broadcast(weights), "fid", "left")
               .groupBy("key")
               .agg((F.lit(bias) + F.coalesce(F.sum("w"), F.lit(0.0)))
@@ -535,10 +573,13 @@ def hashed_tfidf_sparse(df: DataFrame, dim: int, key_col: str,
     precedent). Empty documents emit no rows.
     """
     _check_dim(dim)
-    occ = df.select(
-        F.col(key_col).alias("key"),
-        F.explode(hashed_feature_ids(text_col, dim, lowercase))
-        .alias("fid"))
+    # explode tokens, hash after — codegen'd md5 bucketing, not the
+    # interpreted transform lambda (see score_quality_native); plain
+    # explode drops empty/NULL arrays on both formulations
+    occ = (df.select(F.col(key_col).alias("key"),
+                     F.explode(_tokens_for_fids(text_col, lowercase))
+                     .alias("t0"))
+           .select("key", _fid_of(F.col("t0"), dim).alias("fid")))
     tf = occ.groupBy("key", "fid").agg(F.count(F.lit(1)).alias("tf"))
     # df(fid) from the ALREADY-GROUPED tf table: its rows are distinct
     # (key, fid), so count(*) == count_distinct(key). tf has two

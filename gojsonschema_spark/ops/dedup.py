@@ -82,18 +82,24 @@ def exact_dedup_keep_canonical(df: DataFrame, text_col: str = "text",
     >64-member degenerate groups kept all members past the cap); the
     exemplar cap is a REPORTING bound, not an edge source.
 
-    The join back is NOT broadcast (|distinct fp| ~ |corpus| at 10^12
-    rows); a skewed fp on the probe side streams against exactly one
-    build row, and AQE's skew-join split handles the residual sort skew.
-    ``key_col`` must be unique per row (same contract as
-    :func:`dedup_keep_canonical`)."""
+    The survivor decision runs entirely on a ``(fp, key)`` PROJECTION:
+    the min-key aggregate shuffles 24-byte pairs, never document
+    payloads, and survivors re-attach through ONE left-semi join on the
+    unique key (AQE broadcasts the key set when it is small; at 10^12
+    rows it is a key-key shuffle join — either way the full rows move
+    at most once, where the previous fp-keyed join-back shuffled every
+    payload byte by fingerprint). ``key_col`` must be unique per row
+    (same contract as :func:`dedup_keep_canonical`)."""
     fp = F.md5(normalize_text(F.col(text_col)))
-    keyed = df.withColumn("__fp", fp)
-    canon = (keyed.groupBy("__fp")
-             .agg(F.min(key_col).alias("__canon")))
-    return (keyed.join(canon, "__fp")
-            .filter(F.col(key_col) == F.col("__canon"))
-            .drop("__fp", "__canon"))
+    # NULL fingerprints (NULL text) are excluded BEFORE the aggregate:
+    # the previous fp-equality join-back dropped NULL-fp rows (SQL
+    # equality never matches NULL) — preserved bit-for-bit here
+    survivors = (df.select(fp.alias("__fp"), F.col(key_col))
+                 .filter(F.col("__fp").isNotNull())
+                 .groupBy("__fp")
+                 .agg(F.min(key_col).alias(key_col))
+                 .select(key_col))
+    return df.join(survivors, key_col, "left_semi")
 
 
 def shingles(text: Column, k: int = 3) -> Column:

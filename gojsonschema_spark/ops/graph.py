@@ -100,12 +100,12 @@ def pagerank(edges: DataFrame, *, damping: float = 0.85,
     uniformly). Stops early when the L1 delta falls under ``tol``
     (``None`` = always run ``max_iter``).
 
-    Two jobs per iteration: the join pass that materializes the new
-    ranks (localCheckpoint, truncating lineage), then one cheap scan of
-    that checkpointed result computing the L1 delta, the total mass and
-    next iteration's dangling mass in a single aggregate — possible
-    because every rank row carries its host's ``has_out`` flag, so
-    dangling needs no join.
+    One job per iteration: the new ranks are marked for a LAZY
+    ``localCheckpoint`` and the stats aggregate both materializes them
+    (lineage truncated) and computes the L1 delta, the total mass and
+    next iteration's dangling mass in a single pass — possible because
+    every rank row carries its host's ``has_out`` flag, so dangling
+    needs no join.
 
     Deterministic: float addition order inside a SUM is
     partition-dependent, so ranks are carried as DECIMAL(38, 18) —
@@ -179,8 +179,13 @@ def pagerank(edges: DataFrame, *, damping: float = 0.85,
                   .select("host", "has_out", "rank",
                           F.abs(F.col("rank") - F.col("_old"))
                            .alias("_d")))
-        joined = joined.localCheckpoint(eager=True)   # job 1: materialize
-        stats = joined.agg(                            # job 2: cheap scan
+        # LAZY checkpoint + aggregate: the ONE stats job below both
+        # materializes the checkpoint (lineage truncated) and yields the
+        # scalars — the duplicate_clusters pattern; an eager checkpoint
+        # followed by a separate stats scan costs a second full pass
+        # over the rank table every iteration
+        joined = joined.localCheckpoint(eager=False)
+        stats = joined.agg(
             F.sum("_d").alias("delta"),
             F.sum("rank").alias("total"),
             F.sum(F.when(F.col("has_out"), F.col("rank"))

@@ -80,21 +80,32 @@ def exact_dedup_incremental(new_df: DataFrame, store: DataFrame,
     crawl to build the bitmap (+ a count when ``bloom_n_items`` is not
     given) — worth it exactly when |store| >> |new|, the day-2 shape."""
     fp = F.md5(normalize_text(F.col(text_col)))
-    keyed = new_df.withColumn("__fp", fp)
+    # the whole decision pipeline (store anti-join, within-batch
+    # min-key) runs on a (fp, key) PROJECTION of the new crawl: the
+    # store anti-join and the survivor aggregate shuffle 24-byte
+    # pairs, never document payloads — the previous formulation
+    # shuffled the full new-crawl rows by fp TWICE (anti-join +
+    # join-back). Survivors re-attach through one left-semi join on
+    # the unique key (AQE broadcasts small key sets; at scale it is a
+    # key-key shuffle join — full rows move at most once either way).
+    pairs = new_df.select(fp.alias("__fp"), F.col(key_col))
     # no .distinct() on the store: LEFT ANTI ignores duplicate build
     # keys, and de-duplicating a 10^12-row store would be a full extra
     # shuffle for nothing (fingerprint_store is distinct by construction)
     store_fps = store.select(F.col(fp_col).alias("__fp"))
     if bloom_fpp is not None:
         from .bloom import bloom_build, bloom_probe
-        bf = bloom_build(keyed.select("__fp"), "__fp",
+        bf = bloom_build(pairs.select("__fp"), "__fp",
                          fpp=bloom_fpp, n_items=bloom_n_items)
         store_fps = store_fps.filter(bloom_probe(bf, F.col("__fp")))
-    fresh = keyed.join(store_fps, "__fp", "left_anti")
-    canon = fresh.groupBy("__fp").agg(F.min(key_col).alias("__canon"))
-    return (fresh.join(canon, "__fp")
-            .filter(F.col(key_col) == F.col("__canon"))
-            .drop("__fp", "__canon"))
+    fresh = pairs.join(store_fps, "__fp", "left_anti")
+    # NULL fps: the previous fp-equality join-back dropped NULL-fp rows
+    # (SQL equality never matches NULL) — preserved here
+    survivors = (fresh.filter(F.col("__fp").isNotNull())
+                 .groupBy("__fp")
+                 .agg(F.min(key_col).alias(key_col))
+                 .select(key_col))
+    return new_df.join(survivors, key_col, "left_semi")
 
 
 def signature_store(df: DataFrame, text_col: str = "text",
@@ -166,6 +177,14 @@ def minhash_dedup_incremental(new_df: DataFrame, store_sigs: DataFrame,
             F.col(key_col).alias("k"),
             F.md5(normalize_text(F.col(text_col))).alias("fp"))
         new_sigs = new_sigs.join(new_fps, "k")
+    # the new crawl's signature table feeds SIX consumers below (bucket
+    # table x3 via new_b, verify joins x3) and its lineage is the full
+    # shingle explode + num_hashes min-aggregation — materialize it once
+    # (bounded: one row per new doc, num_hashes longs + fp). The STORE
+    # side is deliberately NOT checkpointed: a persisted day-2 store is
+    # a parquet scan, and copying 10^12 store rows to executor storage
+    # costs more than its two column-pruned scans.
+    new_sigs = new_sigs.localCheckpoint(eager=True)
 
     new_b = band_buckets(new_sigs, num_hashes, bands)
     old_b = band_buckets(store_sigs.select("k", *sig_cols),

@@ -93,19 +93,34 @@ class BackoffLM:
 
 def lm_train(df: DataFrame, text_col: str = "text",
              lowercase: bool = True, min_count: int = 1,
-             alpha: float = 0.4) -> BackoffLM:
+             alpha: float = 0.4, materialize: bool = True) -> BackoffLM:
     """Train a bigram stupid-backoff LM over ``df``.
 
     One corpus explode feeds two vocabulary-sized aggregations; the
     bigram conditionals are resolved against the *unpruned* context
     counts (pruning only drops rows from the emitted model, it never
     biases surviving probabilities). The single driver-side scalar is
-    N (total tokens) — a bounded one-row collect."""
+    N (total tokens) — a bounded one-row collect.
+
+    ``materialize=True`` (default) eagerly materializes the model
+    tables (``localCheckpoint``): a trained model is consumed MANY
+    times (every ``lm_score`` call joins both tables, and the bigram
+    table's lineage itself re-reads the unigram aggregation), so
+    leaving them lazy re-runs the two training passes on every scoring
+    action — train once, score many is the whole point of the
+    train/score split. The tables are vocabulary-sized (min_count
+    pruning bounds them), so executor-local storage is safe; pass
+    False to keep the model fully lazy (e.g. when the caller persists
+    it to parquet immediately via :func:`lm_save`)."""
     toks = _tokens(text_col, lowercase)
     size = F.size(toks)
     words = df.select(toks.alias("toks"), size.alias("sz"))
     uni = (words.select(F.explode("toks").alias("word"))
            .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    if materialize:
+        # one corpus pass; the N collect below and BOTH emitted tables
+        # then read this vocabulary-sized table instead of re-scanning
+        uni = uni.localCheckpoint(eager=True)
     # greatest(sz-1, 0): slice() rejects negative lengths, so an
     # empty/whitespace-only document (sz = 0) must clamp — web corpora
     # always contain them
@@ -129,8 +144,14 @@ def lm_train(df: DataFrame, text_col: str = "text",
     if min_count > 1:
         unigrams = unigrams.filter(F.col("c") >= min_count)
         bigrams = bigrams.filter(F.col("c_bg") >= min_count)
-    return BackoffLM(bigrams=bigrams.drop("c_bg"),
-                     unigrams=unigrams.drop("c"),
+    bigrams, unigrams = bigrams.drop("c_bg"), unigrams.drop("c")
+    if materialize:
+        # second corpus pass (bigram counts) runs HERE, once; scoring
+        # actions then see two bounded checkpointed tables whose real
+        # sizes AQE reads (a pruned model broadcasts automatically)
+        bigrams = bigrams.localCheckpoint(eager=True)
+        unigrams = unigrams.localCheckpoint(eager=True)
+    return BackoffLM(bigrams=bigrams, unigrams=unigrams,
                      total_tokens=int(total), alpha=alpha,
                      lowercase=lowercase)
 

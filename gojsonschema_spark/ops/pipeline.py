@@ -202,6 +202,10 @@ def preprocess_corpus(df: DataFrame,
         if cfg.lm_min_logprob is None:
             raise ValueError("lm_model requires lm_min_logprob")
         from .lm import lm_score
+        # fork: lm_score and the left-semi below BOTH consume df —
+        # without the persist the dedup shuffle join (and every map
+        # stage above it) executes twice
+        df = fork_point(df)
         keep = (lm_score(df, cfg.lm_model, text_col=text,
                          id_col=cfg.key_col)
                 .filter(F.col("log_prob_per_token")

@@ -75,22 +75,30 @@ def build_postings(df: DataFrame, text_col: str = "text",
 
     ``dl`` (document token length) is computed map-side from the token
     array BEFORE the explode and rides the groupBy key, so deriving it
-    never costs a second |docs|-sized shuffle."""
-    toks = df.select(F.col(key_col).alias("key"),
-                     tokenize(text_col).alias("toks"))
-    return (toks
-            .select("key", F.size("toks").alias("dl"),
-                    F.explode("toks").alias("term"))
+    never costs a second |docs|-sized shuffle. The per-token lowercase
+    runs AFTER the explode as a plain scalar expression — whole-stage
+    codegen — instead of inside a ``transform`` lambda (higher-order
+    lambdas are CodegenFallback: interpreted per element)."""
+    c = F.col(text_col)
+    raw = F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0))
+    return (df.select(F.col(key_col).alias("key"),
+                      F.size(raw).alias("dl"),
+                      F.explode(raw).alias("t0"))
+            .select("key", "dl", F.lower(F.col("t0")).alias("term"))
             .groupBy("term", "key", "dl")
             .agg(F.count("*").alias("tf")))
 
 
 def _corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
     """One-row (n_docs, avgdl) aggregate — map-side partial, no shuffle of
-    note. Zero-token documents count toward both (dl = 0)."""
+    note. Zero-token documents count toward both (dl = 0).
+
+    ``regexp_count`` == ``size(regexp_extract_all(...))`` without
+    materializing (or lambda-lowercasing) the token array."""
+    c = F.col(text_col)
     return df.agg(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(tokenize(text_col))).alias("avgdl"))
+        F.avg(F.regexp_count(c, F.lit(TOKEN_RE))).alias("avgdl"))
 
 
 def _bm25_score(tf: Column, df_: Column, dl: Column, n_docs: Column,
@@ -117,8 +125,18 @@ def bm25_topk(df: DataFrame, query: str, k: int = 10,
         return (df.select(key_col).limit(0)
                 .withColumn("bm25", F.lit(0.0)))
     stats = _corpus_stats(df, text_col)
-    cand = build_postings(df, text_col, key_col) \
-        .filter(F.col("term").isin(terms))
+    # materialize the filtered postings ONCE: the df aggregate and the
+    # scoring join below both consume `cand`, and Spark 4.1 does not
+    # reuse the diamond's exchange (the round-start plan carried TWO
+    # full scan->tokenize->explode subtrees of the corpus — one per
+    # consumer). cand is bounded by the query terms' postings, so the
+    # checkpoint is small; a window-over-term formulation was measured
+    # 2x WORSE here (each query term's postings serialize onto one
+    # task, where the groupBy+broadcast-join keeps every stage
+    # partition-parallel).
+    cand = (build_postings(df, text_col, key_col)
+            .filter(F.col("term").isin(terms))
+            .localCheckpoint(eager=True))
     tdf = cand.groupBy("term").agg(F.count("*").alias("df"))
     scored = (cand
               .join(F.broadcast(tdf), "term")

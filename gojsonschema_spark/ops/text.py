@@ -178,7 +178,8 @@ def _ngram_run_metrics(toks: Column, n: int) -> Column:
 
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        ngram_tops: tuple = (2,),
-                       ngram_dups: tuple = ()) -> DataFrame:
+                       ngram_dups: tuple = (),
+                       prunable_barrier: bool = False) -> DataFrame:
     """Intra-document repetition fractions (the FULL Gopher repetition
     filter list, Rae et al. 2021 §A1.1): duplicate line AND paragraph
     fractions (by count and by character mass), the character fraction
@@ -236,11 +237,28 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     # elimination on interpreted aggregates, so referencing the metric
     # struct 2-3x per n (best/dup/tot) would re-run the whole lambda
     # pass each time — measured 12.5s -> 2.1s (top-2 only) and 49s ->
-    # 8.8s (n=2,3,4,5) on 200k pages
+    # 8.8s (n=2,3,4,5) on 200k pages.
+    #
+    # ``prunable_barrier=True`` swaps the Generate for a
+    # NONDETERMINISTIC guard projection (`when(rand() < 2, metrics)` —
+    # value identical, always the struct): CollapseProject refuses to
+    # re-inline nondeterministic expressions (same single-evaluation
+    # guarantee), but unlike a Generate node — which must run its
+    # generator on every row even when the output is pruned — an
+    # unreferenced projection column IS removed by ColumnPruning, so a
+    # consumer that never reads the n-gram metrics (e.g. the facade
+    # with vacuous thresholds) skips the whole lambda pass. The cost:
+    # predicates cannot push below a nondeterministic projection while
+    # the column survives, so the DEFAULT stays the Generate barrier,
+    # which keeps cheap filter conjuncts pushing below the n-gram pass.
     metrics = F.struct(*[_ngram_run_metrics(toks, n).alias(f"n{n}")
                          for n in ns])
-    barrier = df.select("*", *line_cols,
-                        F.explode(F.array(metrics)).alias("__ngr"))
+    if prunable_barrier:
+        barrier = df.select("*", *line_cols,
+                            F.when(F.rand() < 2.0, metrics).alias("__ngr"))
+    else:
+        barrier = df.select("*", *line_cols,
+                            F.explode(F.array(metrics)).alias("__ngr"))
     cols = []
     for n in ns:
         m = F.col("__ngr")[f"n{n}"]
@@ -297,32 +315,64 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
 
     tops = dict(ngram_top_thresholds or {})
     dups = dict(ngram_dup_thresholds or {})
+    # if EVERY n-gram rule threshold is vacuous (>= 1.0 — see the
+    # constant folding below), no rule filters on the n-gram metrics:
+    # use the prunable barrier so a consumer that also ignores the
+    # metric COLUMNS (the facade's pass-through configuration) never
+    # pays the per-n interpreted lambda pass. With any real n-gram
+    # rule the Generate barrier stays — it lets the cheap rules'
+    # filter conjuncts push below the n-gram pass.
+    ngram_rule_thresholds = ([max_top_bigram_char_frac]
+                             + [t for n, t in tops.items() if n != 2]
+                             + list(dups.values()))
+    all_vacuous = all(t >= 1.0 for t in ngram_rule_thresholds)
     out = repetition_metrics(quality_score(df, text_col), text_col,
                              ngram_tops=tuple({2} | set(tops)),
-                             ngram_dups=tuple(dups))
+                             ngram_dups=tuple(dups),
+                             prunable_barrier=all_vacuous)
     text = F.col(text_col)
     toks_lower = F.array_remove(F.split(F.lower(text), r"\s+"), "")
     stop_hits = F.size(F.array_intersect(
         toks_lower, F.array(*[F.lit(w) for w in stopwords])))
     symbols = F.regexp_count(text, F.lit(r"#|\.\.\."))
     n_tok = F.col("n_tokens")
+    # vacuous-threshold constant folding: every repetition fraction is
+    # in [0, 1] BY CONSTRUCTION (dup mass <= total mass, top-gram mass
+    # <= total gram mass; zero denominators yield 0.0, never NULL), so
+    # a threshold >= 1.0 is provably always satisfied — emit lit(True)
+    # and let column pruning drop the whole (interpreted-lambda) n-gram
+    # pass when nothing else references the metric. Likewise
+    # min_stop_hits <= 0: the intersect size is >= 0 for any non-NULL
+    # text (and NULL text yields NULL under both forms — preserved).
+    # Catalyst cannot do this fold itself (it cannot bound the
+    # aggregate), and a pass-through configuration would otherwise pay
+    # the full metric computation for an always-true bit.
+    def _frac_rule(col_name: str, thr: float) -> Column:
+        if thr >= 1.0:
+            return F.lit(True)
+        return F.col(col_name) <= thr
+
+    if min_stop_hits <= 0:
+        ok_stop = F.when(text.isNotNull(), F.lit(True))
+    else:
+        ok_stop = stop_hits >= min_stop_hits
     rules = {
         "ok_word_count": (n_tok >= min_words) & (n_tok <= max_words),
         "ok_mean_word_len": ((F.col("mean_tok_len") >= min_mean_word_len)
                              & (F.col("mean_tok_len") <= max_mean_word_len)),
         "ok_symbol_ratio": (symbols / F.greatest(n_tok, F.lit(1))
                             <= max_symbol_word_ratio),
-        "ok_stopwords": stop_hits >= min_stop_hits,
-        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
-        "ok_top_bigram": (F.col("top_bigram_char_frac")
-                          <= max_top_bigram_char_frac),
+        "ok_stopwords": ok_stop,
+        "ok_dup_lines": _frac_rule("dup_line_frac", max_dup_line_frac),
+        "ok_top_bigram": _frac_rule("top_bigram_char_frac",
+                                    max_top_bigram_char_frac),
     }
     for n, thr in sorted(tops.items()):
         if n == 2:  # covered by ok_top_bigram / max_top_bigram_char_frac
             continue
-        rules[f"ok_top_{n}gram"] = F.col(f"top_{n}gram_char_frac") <= thr
+        rules[f"ok_top_{n}gram"] = _frac_rule(f"top_{n}gram_char_frac", thr)
     for n, thr in sorted(dups.items()):
-        rules[f"ok_dup_{n}gram"] = F.col(f"dup_{n}gram_char_frac") <= thr
+        rules[f"ok_dup_{n}gram"] = _frac_rule(f"dup_{n}gram_char_frac", thr)
     # published paragraph rules (Gopher: 0.30 / 0.20), opt-in
     if max_dup_para_frac is not None:
         rules["ok_dup_paras"] = F.col("dup_para_frac") <= max_dup_para_frac
@@ -414,39 +464,52 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
     partition-local sort (still narrow, zero shuffle) orders docs by
     token count descending first, which measurably cuts pack count /
     raises fill (the classic bin-packing result) at the cost of losing
-    the input's row order inside each partition."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    the input's row order inside each partition.
 
-    # NB: StructType.add MUTATES (and df.schema is cached on the
-    # DataFrame) — build a fresh StructType instead
-    out_schema = StructType(list(df.schema.fields)
-                            + [StructField(pack_col, LongType())])
+    The pack id is computed by an ITERATOR-form pandas UDF over just
+    ``(partition_id, token_count)`` — two narrow columns cross the
+    Arrow boundary and one long column comes back. The previous
+    ``mapInPandas`` formulation shipped EVERY column of every row to
+    Python and back (a corpus row carries documents/HTML: measured as
+    the single largest cost of the facade pipeline); iterator state
+    spans all batches of a task, so the running-pack semantics are
+    unchanged."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
     src = (df.sortWithinPartitions(F.col(token_col).desc())
            if sort_by_length else df)
-    with_pid = src.withColumn("__pid", F.spark_partition_id())
 
-    def pack(batches):
-        import pandas as pd  # noqa: F401  (worker-side)
-
+    # explicit SCALAR_ITER eval type: the module uses
+    # `from __future__ import annotations`, so type-hint-based
+    # inference would see unresolvable string hints
+    @pandas_udf("long", PandasUDFType.SCALAR_ITER)
+    def _pack_ids(it):
+        import pandas as pd
         local = 0
         used = None  # tokens used in the open pack; None = no pack yet
-        for pdf in batches:
-            if len(pdf) == 0:
+        for pids, toks in it:
+            if not len(pids):
+                yield pd.Series([], dtype="int64")
                 continue
-            pid = int(pdf["__pid"].iloc[0])
+            pid = int(pids.iloc[0])
             ids = []
-            for t in pdf[token_col]:
+            for t in toks:
                 t = int(t) if t == t else 0  # NaN-safe
                 if used is None or used + t > budget:
                     local += 0 if used is None else 1
                     used = 0
                 used += t
                 ids.append((pid << 33) | local)
-            res = pdf.drop(columns=["__pid"])
-            res[pack_col] = ids
-            yield res
+            yield pd.Series(ids, dtype="int64")
 
-    return with_pid.mapInPandas(pack, schema=out_schema)
+    # nondeterministic: the optimizer must never clone the stateful UDF
+    # below a filter (the repo-wide Python-eval clone trap)
+    pack_udf = _pack_ids.asNondeterministic()
+    return (src
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn(pack_col, pack_udf(F.col("__pid"),
+                                           F.col(token_col)))
+            .drop("__pid"))
 
 
 # conservative, high-precision PII patterns (the standard pre-training

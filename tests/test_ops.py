@@ -1019,11 +1019,15 @@ def test_pack_sequences(spark):
     rows2 = pack_sequences(df, "n_tokens", budget=1000).collect()
     assert sorted((r.doc_id, r.pack_id) for r in rows1) == \
            sorted((r.doc_id, r.pack_id) for r in rows2)
-    # packing adds NO shuffle: MapInPandas sits directly above the input
-    # (any Exchange in the plan is the test's own repartition, BELOW it)
+    # packing adds NO shuffle: the iterator pandas UDF (ArrowEvalPython)
+    # sits directly above the input (any Exchange in the plan is the
+    # test's own repartition, BELOW it), and the Python boundary ships
+    # ONLY the (partition id, token count) pair — never payload columns
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
-    assert plan.index("MapInPandas") < plan.index("Exchange")
+    assert "ArrowEvalPython" in plan
+    assert plan.index("ArrowEvalPython") < plan.index("Exchange")
+    eval_line = next(l for l in plan.splitlines() if "ArrowEvalPython" in l)
+    assert "_pack_ids(__pid" in eval_line  # only (pid, tokens) cross
 
 
 def test_duplicate_clusters_and_canonical(spark):
