@@ -657,6 +657,13 @@ def mojibake_repairs() -> list[tuple[str, str]]:
 
 
 _MOJIBAKE_REPAIRS = mojibake_repairs()
+# every repair SOURCE sequence begins with the cp1252 decode of a UTF-8
+# lead byte — a closed, tiny character set. A row containing none of
+# these lead characters cannot match ANY source sequence (the chain is
+# then the identity), so one native single-pass rlike scan gates the
+# whole 100+-replace chain. Derived from the table itself (and pinned
+# in tests) so a future repair row can never silently invalidate it.
+_MOJIBAKE_LEADS = "".join(sorted({seq[0] for seq, _ in _MOJIBAKE_REPAIRS}))
 
 
 def fix_mojibake(df: DataFrame, text_col: str = "text",
@@ -665,16 +672,22 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     ``â€™`` -> ``’``) — the ftfy-style cleanup every web-text pipeline
     runs before quality filtering. One map-side pass of chained native
     ``replace`` calls over :func:`mojibake_repairs` (zero shuffle, no
-    Python); clean text passes through unchanged byte-for-byte.
+    Python); clean text passes through unchanged byte-for-byte, and a
+    single lead-character scan short-circuits the whole chain for rows
+    that provably contain no repairable sequence (most of any real
+    corpus) — each ``replace`` is a full scan of the row, so the guard
+    turns ~100 scans into 1 for clean text.
 
     Tradeoff (same as ftfy's): text that *legitimately* contains a
     repair sequence (e.g. literal ``Ã`` directly followed by ``©``)
     is rewritten. Those sequences are vanishingly rare in real prose —
     that rarity is why mojibake is detectable at all."""
-    col = F.col(text_col)
+    text = F.col(text_col)
+    col = text
     for seq, ch in _MOJIBAKE_REPAIRS:
         col = F.replace(col, F.lit(seq), F.lit(ch))
-    return df.withColumn(out_col or text_col, col)
+    guarded = F.when(text.rlike(f"[{_MOJIBAKE_LEADS}]"), col).otherwise(text)
+    return df.withColumn(out_col or text_col, guarded)
 
 
 def mojibake_sql_expr(col_sql: str) -> str:

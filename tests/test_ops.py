@@ -1895,6 +1895,13 @@ def test_fix_mojibake_round_trip(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
     assert out.columns == ["text", "fixed"]
+    # the lead-character guard that short-circuits the replace chain is
+    # COMPLETE: every repair source starts with a guard character (a row
+    # without any guard character provably matches no sequence), and the
+    # guard set is non-ASCII only (no regex metacharacters in the class)
+    from gojsonschema_spark.ops.text import _MOJIBAKE_LEADS
+    assert all(s[0] in _MOJIBAKE_LEADS for s, _ in reps)
+    assert all(ord(c) > 127 for c in _MOJIBAKE_LEADS)
 
 
 def _ref_bpe(word_freqs: dict, n_merges: int, min_count: int = 2):
