@@ -132,10 +132,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # small inputs often arrive as 1 file-partition; the explode multiplies
     # rows ~100x, so spread it across the cluster first
     par = df.sparkSession.sparkContext.defaultParallelism
-    exploded = df.repartition(par).select(
-        F.col(key_col).alias("k"),
-        F.explode(F.transform(shingles(F.col(text_col), k),
-                              lambda s: F.xxhash64(s))).alias("h0"))
+    # the base hash runs AFTER the explode as a scalar expression
+    # (whole-stage codegen) instead of a second interpreted transform
+    # pass over the shingle array — identical h0 values (same shingle
+    # string, same hash function), one fewer lambda pass per document
+    exploded = (df.repartition(par)
+                .select(F.col(key_col).alias("k"),
+                        F.explode(shingles(F.col(text_col), k)).alias("s0"))
+                .select("k", F.xxhash64("s0").alias("h0")))
     hashed = exploded.select(
         "k", *[F.xxhash64("h0", F.lit(i)).alias(f"h{i}")
                for i in range(num_hashes)])
