@@ -80,10 +80,14 @@ def build_postings(df: DataFrame, text_col: str = "text",
     codegen — instead of inside a ``transform`` lambda (higher-order
     lambdas are CodegenFallback: interpreted per element)."""
     c = F.col(text_col)
-    raw = F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0))
-    return (df.select(F.col(key_col).alias("key"),
-                      F.size(raw).alias("dl"),
-                      F.explode(raw).alias("t0"))
+    # the raw token array is materialized as an ATTRIBUTE first: size()
+    # and explode() both consume it, and inlining the regexp_extract_all
+    # into each (one select) runs the regex twice per document
+    raw = df.select(F.col(key_col).alias("key"),
+                    F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0))
+                    .alias("toks"))
+    return (raw.select("key", F.size("toks").alias("dl"),
+                       F.explode("toks").alias("t0"))
             .select("key", "dl", F.lower(F.col("t0")).alias("term"))
             .groupBy("term", "key", "dl")
             .agg(F.count("*").alias("tf")))
