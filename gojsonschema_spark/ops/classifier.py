@@ -106,7 +106,7 @@ _GRAD_SCHEMA = StructType([
     StructField("fid", LongType()),
     StructField("g", DoubleType()),
 ])
-_BIAS, _LOSS, _COUNT = -1, -2, -3  # accumulator pseudo-fids
+_BIAS, _LOSS, _COUNT, _BAD = -1, -2, -3, -4  # accumulator pseudo-fids
 
 
 def train_quality_classifier(
@@ -133,11 +133,14 @@ def train_quality_classifier(
     if cache:
         feat = feat.persist()
     try:
-        bad = feat.filter(~F.col("y").isin(0.0, 1.0) |
-                          F.col("y").isNull()).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"label column {label_col!r} must be 0/1, saw {bad[0].y!r}")
+        if n_iters <= 0:
+            # no gradient pass to piggyback the validation on — run the
+            # standalone check (the only consumer of this path)
+            bad = feat.filter(~F.col("y").isin(0.0, 1.0) |
+                              F.col("y").isNull()).limit(1).collect()
+            if bad:
+                raise ValueError(f"label column {label_col!r} must be "
+                                 f"0/1, saw {bad[0].y!r}")
 
         w = np.zeros(dim, dtype=np.float64)
         bias = 0.0
@@ -168,6 +171,13 @@ def train_quality_classifier(
                     m += b_iter
                     p = 1.0 / (1.0 + np.exp(-m))
                     y = pdf["y"].to_numpy(dtype=np.float64)
+                    # label validation piggybacks on this pass (the
+                    # standalone pre-check cost one full featurize scan);
+                    # the driver raises before applying the update
+                    n_bad = int((np.isnan(y)
+                                 | ((y != 0.0) & (y != 1.0))).sum())
+                    if n_bad:
+                        acc[_BAD] = acc.get(_BAD, 0.0) + float(n_bad)
                     loss -= (y * np.log(np.maximum(p, eps))
                              + (1.0 - y)
                              * np.log(np.maximum(1.0 - p, eps))).sum()
@@ -191,6 +201,11 @@ def train_quality_classifier(
                     .groupBy("fid").agg(F.sum("g").alias("g"))
                     .collect())
             sums = {r.fid: r.g for r in rows}
+            n_bad = sums.pop(_BAD, 0.0)
+            if n_bad:
+                raise ValueError(
+                    f"label column {label_col!r} must be 0/1 "
+                    f"({int(n_bad)} invalid rows)")
             n = sums.pop(_COUNT, 0.0)
             if n == 0:
                 raise ValueError("empty training corpus")

@@ -142,6 +142,11 @@ def preprocess_corpus(df: DataFrame,
 
     if cfg.redact:
         df = redact_pii(df, text_col=text, out_col="__text_redacted")
+        if text == "__text_stripped":
+            # the stripped intermediate has no consumer once redaction
+            # replaced it; dropping it here keeps a whole text copy out
+            # of the dedup fork's persist (and out of the output)
+            df = df.drop(text)
         text = "__text_redacted"
 
     if cfg.dedup in ("exact", "minhash"):
