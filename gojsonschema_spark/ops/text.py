@@ -748,25 +748,115 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
             .agg(F.sum("freq").alias("n")))
 
 
+def _bpe_train_local(words: list, n_merges: int,
+                     min_count: int) -> list[tuple[str, str]]:
+    """Driver-local heap-based BPE trainer over the collected unique-word
+    table — the classic incremental-pair-count algorithm (Sennrich et
+    al. 2016 reference implementation shape). ``words`` is a list of
+    mutable ``[symbols, freq]`` entries (mutated in place). Reproduces
+    the distributed loop's semantics EXACTLY: best pair by (count desc,
+    left asc, right asc) — Python's per-code-point string order equals
+    Spark's UTF8 binary order because UTF-8 is order-preserving — greedy
+    left-to-right non-overlapping merge application, stop when the best
+    count drops below ``min_count``. Lazy-deletion heap: every count
+    change pushes a fresh entry and stale entries (count no longer
+    current) are skipped on pop, so the first valid pop is the true
+    argmax. Cost: O(total syms) once, then per merge only the words
+    containing the merged pair are touched — zero Spark jobs."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for idx, (syms, _freq) in enumerate(words):
+        pairs = list(zip(syms, syms[1:]))
+        for p in pairs:
+            pair_counts[p] += _freq
+        for p in set(pairs):
+            pair_words[p].add(idx)
+
+    heap = [(-n, a, b) for (a, b), n in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        neg, a, b = heapq.heappop(heap)
+        n = pair_counts.get((a, b), 0)
+        if n != -neg:
+            continue  # stale: count changed since this entry was pushed
+        if n < min_count:
+            break
+        merges.append((a, b))
+        merged = a + b
+        changed: set = set()
+        for idx in sorted(pair_words.get((a, b), ())):
+            syms, freq = words[idx]
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            old = Counter(zip(syms, syms[1:]))
+            new = Counter(zip(out, out[1:]))
+            words[idx][0] = out
+            for p in old.keys() | new.keys():
+                d = new[p] - old[p]
+                if d:
+                    pair_counts[p] += d * freq
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                    changed.add(p)
+                    if d > 0:
+                        pair_words[p].add(idx)
+                    elif new[p] == 0:
+                        pair_words[p].discard(idx)
+        # a full greedy pass removes every (a, b) adjacency, so the
+        # merged pair's count must be exactly zero now (delta soundness)
+        assert (a, b) not in pair_counts
+        pair_words.pop((a, b), None)
+        for p in changed:
+            n2 = pair_counts.get(p, 0)
+            if n2 > 0:
+                heapq.heappush(heap, (-n2, p[0], p[1]))
+    return merges
+
+
 def bpe_train(df: DataFrame, n_merges: int, text_col: str = "text",
               lowercase: bool = True, min_count: int = 2,
-              checkpoint_every: int = 8) -> list[tuple[str, str]]:
-    """Learn a BPE merge list from the corpus: per iteration, count
-    adjacent symbol pairs over the persisted unique-word table, take
-    the argmax (deterministic (n desc, left, right) tiebreak —
+              checkpoint_every: int = 8,
+              driver_vocab_cap: int = 5_000_000) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from the corpus. The corpus is scanned
+    exactly once (word count, map-side partial agg); everything after is
+    vocabulary-sized. When the unique-word table fits under
+    ``driver_vocab_cap`` rows (~10^6-10^7 distinct words at web scale —
+    it fits by construction for any corpus whose tokenizer you would
+    train), the pruned ``(syms, freq)`` table is collected ONCE and the
+    merges are learned by the driver-local heap trainer
+    (:func:`_bpe_train_local`): zero per-merge Spark jobs, so a real
+    32k-merge vocabulary is minutes of driver CPU instead of 32k
+    sequential vocabulary-sized jobs. The symbol split is computed by
+    Spark BEFORE the collect, so both paths see byte-identical symbol
+    arrays by construction.
+
+    Above the cap, falls back to the distributed loop: per iteration,
+    count adjacent symbol pairs over the checkpointed unique-word table,
+    take the argmax (deterministic (n desc, left, right) tiebreak —
     TakeOrderedAndProject, never a global sort), and apply ONE merge
-    pass to the materialized symbol column. Lineage is truncated with
+    pass to the materialized symbol column, truncating lineage with
     ``localCheckpoint`` every ``checkpoint_every`` merges (the
-    iterative-loop rule from ops/dedup.duplicate_clusters — persist
-    alone leaves the plan growing). Stops early when the best pair
-    drops below ``min_count``. Per-iteration cost is vocabulary-sized;
-    the corpus is scanned exactly once."""
+    iterative-loop rule from ops/dedup.duplicate_clusters). Both paths
+    stop early when the best pair drops below ``min_count`` and produce
+    identical merge lists (equivalence pinned in tests)."""
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     cur = (df.select(F.explode(F.array_remove(F.split(text, r"\s+"), ""))
                      .alias("word"))
            .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
            .withColumn("syms", F.split(F.col("word"), ""))
            .localCheckpoint(eager=True))
+    if cur.count() <= driver_vocab_cap:
+        rows = cur.select("syms", "freq").collect()
+        return _bpe_train_local([[list(r.syms), r.freq] for r in rows],
+                                n_merges, min_count)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         n = F.size(F.col("syms"))

@@ -1973,6 +1973,28 @@ def test_bpe_train_matches_reference(spark):
     assert ("a", "a") in merges
 
 
+def test_bpe_train_local_matches_distributed(spark):
+    """The driver-local heap trainer (default path — zero per-merge
+    Spark jobs) and the distributed per-merge fallback (forced via
+    ``driver_vocab_cap=0``) learn IDENTICAL merge lists, and both match
+    the pure-Python reference: count ties, multi-char merges, the
+    min_count stop, and unicode symbols (incl. an astral-plane char,
+    pinning that Spark's ``split(word, '')`` and the collected symbol
+    arrays agree on code-point boundaries) are all exercised."""
+    from gojsonschema_spark.ops.text import bpe_train
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaa": 4,
+             "naïve": 3, "naïveté": 2, "déjà": 4, "𝕏ab": 3, "ab𝕏": 3,
+             "zz": 1, "tie1": 2, "tie2": 2}
+    rows = [(" ".join([w] * f),) for w, f in words.items()]
+    df = spark.createDataFrame(rows, ["text"])
+    local = bpe_train(df, 24, checkpoint_every=3)
+    dist = bpe_train(df, 24, checkpoint_every=3, driver_vocab_cap=0)
+    assert local == dist
+    assert local == _ref_bpe(words, 24)
+    assert len(local) >= 5
+
+
 def test_bpe_encode_matches_native_and_reference(spark):
     """The Arrow encoder (production path), the catalyst fold twin, and
     the pure-Python greedy reference must all agree — including the
