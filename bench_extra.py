@@ -191,6 +191,36 @@ def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def bpe_train_bench(spark, n_merges: int = 256) -> None:
+    """Evidence harness for the round-6 bpe_train rewrite: time the
+    driver-local trainer (default path) for ``n_merges`` merges over the
+    bench corpus, then the distributed per-merge fallback for 16 merges
+    (forced via driver_vocab_cap=0), extrapolating the latter's
+    per-merge cost — it is one vocabulary-sized Spark job PER MERGE, so
+    running it for the full request would be hours at real vocab sizes.
+    Also asserts the two paths' merge lists agree on the real corpus."""
+    from gojsonschema_spark.ops.text import bpe_train
+
+    pages = spark.read.parquet(bench.PAGES_PATH).select("text")
+    pages.count()  # warm the scan
+    spark.sparkContext.setJobDescription("r06:bpe_train_local")
+    t0 = time.perf_counter()
+    m_new = bpe_train(pages, n_merges)
+    t_new = time.perf_counter() - t0
+    print(f"driver-local: {n_merges}-merge request in {t_new:.2f}s "
+          f"({len(m_new)} merges learned)", flush=True)
+    spark.sparkContext.setJobDescription("r06:bpe_train_distributed")
+    t0 = time.perf_counter()
+    m_old = bpe_train(pages, 16, driver_vocab_cap=0)
+    t_old = time.perf_counter() - t0
+    per = t_old / 16
+    print(f"distributed fallback: 16 merges in {t_old:.2f}s -> "
+          f"{per:.2f}s/merge, x{n_merges} ~= {per * n_merges:.0f}s, "
+          f"x32768 ~= {per * 32768 / 3600:.1f}h", flush=True)
+    assert m_old == m_new[:len(m_old)], "path divergence"
+    spark.sparkContext.setJobDescription(None)
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
@@ -199,6 +229,10 @@ def main():
     spark = bench.get_spark(bench.CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     bench.ensure_pages(spark)
+    if mode == "bpe_train":
+        bpe_train_bench(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 256)
+        spark.stop()
+        return
     frames = _frames(spark)
     todo = names or sorted(frames)
     os.makedirs(PLAN_DIR, exist_ok=True)
